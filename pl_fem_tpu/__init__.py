@@ -1,0 +1,45 @@
+"""pl_fem_tpu — TPU-native vectorial FEM photonic-lantern framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+KhaoulaAguech/pl-fem-vectoriel: fully vectorial H-field finite-element
+eigenmode simulation of polymer photonic lanterns plus large-scale
+parametric dataset generation, built TPU-first:
+
+- host-side adaptive Delaunay meshing frozen into padded static-shape
+  element arrays (bucketed for jit-cache reuse);
+- vmapped per-element P2 quadrature assembly (all bilinear forms in one
+  pass) feeding matrix-free block operators (batched 12x12 matmuls on
+  the MXU + segment-sum scatter);
+- a generalized LOBPCG (extremal, scalar Helmholtz) and a Chebyshev
+  fold-filter subspace eigensolver (interior, vectorial H-field pencil)
+  replacing ARPACK shift-invert;
+- jitted sectional loss models, lax.scan coupled-mode-theory taper
+  propagation, and shard_map dataset generation over the device mesh.
+"""
+
+__version__ = "0.1.0"
+
+from .constants import PHYS, PhysConst
+from .config import (
+    MeshConfig,
+    PhotonicLanternDesignParameters,
+    PhysicalConstants,
+    SimulationConfig,
+    SolverConfig,
+)
+from .materials import Air, IPDipCauchy, Silica
+from .models import (
+    MCFGeometry,
+    MMFGeometry,
+    PhotonicLantern,
+    PhotonicLanternGeometry,
+    TaperSection,
+)
+
+__all__ = [
+    "PHYS", "PhysConst", "PhysicalConstants", "SimulationConfig",
+    "SolverConfig", "MeshConfig", "PhotonicLanternDesignParameters",
+    "IPDipCauchy", "Silica", "Air",
+    "MCFGeometry", "MMFGeometry", "PhotonicLantern",
+    "PhotonicLanternGeometry", "TaperSection",
+]

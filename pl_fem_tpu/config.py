@@ -1,0 +1,134 @@
+"""Configuration dataclasses.
+
+The reference imports ``SimulationConfig``/``PhysicalConstants``/
+``PhotonicLanternDesignParameters`` from a config module that is absent
+from its snapshot (see /root/reference/mesh.py:41, solver_fem.py:37,
+losses.py:761). The field sets below are reconstructed from the call
+sites that consume them:
+
+- ``SimulationConfig``: mesh.py:109,186,313-314 (enable_mesh_cache,
+  cache_max_size, mesh_min_points, mesh_target_points) and sampling.py.
+- ``PhotonicLanternDesignParameters``: the authoritative 30-field
+  constructor call at losses.py:956-988.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from .constants import PhysConst
+
+# Re-export under the name used by the reference imports.
+PhysicalConstants = PhysConst
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """TPU eigensolver knobs (new to this framework)."""
+
+    backend: str = "tpu"            # 'tpu' (Chebyshev/LOBPCG) | 'hybrid' (host scipy)
+    scalar_maxiter: int = 120       # LOBPCG iterations for the scalar solve
+    scalar_tol: float = 1e-8        # relative residual target
+    cheb_degree: int = 600          # Chebyshev fold-filter degree per pass
+    cheb_passes: int = 4            # filter->Rayleigh-Ritz passes
+    extra_vectors: int = 12         # solve k = n_modes_target + extra (solver_fem.py:196)
+    dtype_filter: str = "float32"   # filtering precision
+    dtype_rr: str = "float64"       # Rayleigh-Ritz precision
+    alpha_penalty: float = 1.0      # divergence penalty alpha_p (solver_fem.py:158)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Host mesher + static-shape export knobs."""
+
+    refinement: float = 1.0
+    mesh_min_points: int = 9000       # refined until >= this (mesh.py:313)
+    mesh_target_points: int = 18000   # explosion guard at 2.5x (mesh.py:325)
+    max_refinement_iterations: int = 5
+    semi_refine: bool = True          # 50% partial refine step (mesh.py:330-332)
+    bucket_rounding: int = 4096       # pad element/DOF counts to multiples
+    min_edge_factor: float = 0.0      # optional floor on local edge length
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulationConfig:
+    """Top-level simulation configuration (reference seam, rebuilt)."""
+
+    # mesh (names match the reference call sites, mesh.py:109,186,313-314)
+    enable_mesh_cache: bool = True
+    cache_max_size: int = 150
+    mesh_min_points: int = 9000
+    mesh_target_points: int = 18000
+
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+
+    n_modes_target: Optional[int] = None   # default: ceil(2.8 * n_cores)
+    use_pml: bool = True
+    use_cauchy_dispersion: bool = False
+    wavelength_nm: float = 1550.0
+
+    def derived_mesh(self) -> MeshConfig:
+        return dataclasses.replace(
+            self.mesh,
+            mesh_min_points=self.mesh_min_points,
+            mesh_target_points=self.mesh_target_points,
+        )
+
+
+@dataclasses.dataclass
+class PhotonicLanternDesignParameters:
+    """Design-parameter bundle consumed by the loss model.
+
+    Field list reconstructed verbatim from the constructor call at
+    /root/reference/losses.py:956-988 (the only authoritative spec).
+    """
+
+    # topology
+    N_cores: int = 7
+    has_central_core: bool = True
+    config_type: str = "hexagonal"
+    geometry_config: str = "7-hexagonal"
+    n_peripheral_cores: int = 6
+    R_ring: float = 8.0
+    packing_efficiency: float = 0.5
+    pitch: float = 8.0
+    pitch_min: float = 8.0
+    pitch_ratio: float = 3.3
+
+    # optics
+    wavelength: float = 1550.0        # nm
+    r_core_SM: float = 1.2
+    r_clad_SM: float = 62.5
+    n_core_SM: float = 1.53
+    n_clad_SM: float = 1.0
+    V_SM: float = 5.0
+    NA_SM: float = 1.0
+    MFD: float = 3.0
+    n_eff_LP01: float = 1.45
+    r_core_MM: float = 25.0
+    V_MM: float = 12.0
+    NA_MM: float = 0.22
+    M_max: int = 40
+
+    # materials / assembly
+    n_polymer: float = 1.53
+    d_polymer: float = 2.0
+    coupling_uniformity: float = 0.95
+
+    # longitudinal sections [um]
+    L_mux: float = 200.0
+    L_taper: float = 375.0
+    L_MMF: float = 100.0
+    L_total: float = 675.0
+    n_taper: float = 1.0
+    taper_profile: str = "exponential"
+
+
+__all__ = [
+    "PhysicalConstants",
+    "SimulationConfig",
+    "SolverConfig",
+    "MeshConfig",
+    "PhotonicLanternDesignParameters",
+]
