@@ -35,6 +35,7 @@ class SolverConfig:
     dtype_filter: str = "float32"   # filtering precision
     dtype_rr: str = "float64"       # Rayleigh-Ritz precision
     alpha_penalty: float = 1.0      # divergence penalty alpha_p (solver_fem.py:158)
+    beta_passes: int = 2            # fixed-beta refinement passes (vectorial tpu)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -28,6 +28,7 @@ class GridArrays(NamedTuple):
     """Device-resident subset of DeviceGrid used by assembly/operators."""
 
     elem_dofs: jax.Array    # (E, 6) int32
+    elem_valid: jax.Array   # (E,) bool
     qp_xy: jax.Array        # (E, Q, 2)
     qp_w: jax.Array         # (E, Q)
     grad_phys: jax.Array    # (E, Q, 6, 2)
@@ -40,6 +41,7 @@ class GridArrays(NamedTuple):
 def grid_to_device(dg: DeviceGrid, dtype=jnp.float64) -> GridArrays:
     return GridArrays(
         elem_dofs=jnp.asarray(dg.elem_dofs, dtype=jnp.int32),
+        elem_valid=jnp.asarray(dg.elem_valid, dtype=bool),
         qp_xy=jnp.asarray(dg.qp_xy, dtype=dtype),
         qp_w=jnp.asarray(dg.qp_w, dtype=dtype),
         grad_phys=jnp.asarray(dg.grad_phys, dtype=dtype),
@@ -50,25 +52,62 @@ def grid_to_device(dg: DeviceGrid, dtype=jnp.float64) -> GridArrays:
     )
 
 
-def eps_at_quadrature(ga: GridArrays, eps: EpsParams):
+class EpsArrays(NamedTuple):
+    """Traceable permittivity parameters (jit-argument form of EpsParams).
+
+    ``pml_start <= 0`` disables the PML branchlessly, so one compiled
+    executable covers both cases per core count.
+    """
+
+    positions: jax.Array     # (N, 2)
+    core_radii: jax.Array    # (N,)
+    eps_core: jax.Array      # scalar
+    eps_clad: jax.Array
+    pml_start: jax.Array
+    pml_thickness: jax.Array
+    pml_strength: jax.Array
+    pml_order: jax.Array
+
+
+def eps_arrays(p: EpsParams, dtype=jnp.float64) -> EpsArrays:
+    return EpsArrays(
+        positions=jnp.asarray(p.positions, dtype=dtype),
+        core_radii=jnp.asarray(p.core_radii, dtype=dtype),
+        eps_core=jnp.asarray(p.eps_core, dtype=dtype),
+        eps_clad=jnp.asarray(p.eps_clad, dtype=dtype),
+        pml_start=jnp.asarray(p.pml_start, dtype=dtype),
+        pml_thickness=jnp.asarray(p.pml_thickness, dtype=dtype),
+        pml_strength=jnp.asarray(p.pml_strength, dtype=dtype),
+        pml_order=jnp.asarray(float(p.pml_order), dtype=dtype),
+    )
+
+
+def points_in_cores(x, y, positions, radii, factor=1.0):
+    """Vectorized any-core membership test (traceable)."""
+    positions = jnp.asarray(positions)
+    radii = jnp.asarray(radii)
+    d2 = ((x[..., None] - positions[:, 0]) ** 2
+          + (y[..., None] - positions[:, 1]) ** 2)
+    return jnp.any(d2 <= (factor * radii) ** 2, axis=-1)
+
+
+def eps_at_quadrature(ga: GridArrays, eps):
     """Relative permittivity (re, im) at every quadrature point.
 
-    Static unrolled loop over cores (N <= 19); same piecewise-constant +
-    annular-PML model as the geometry layer (models/geometry.py
-    ``epsilon_at``), evaluated on device so one grid serves any (eps, k0).
+    Same piecewise-constant + annular-PML model as the geometry layer
+    (models/geometry.py ``epsilon_at``), evaluated on device so one grid
+    serves any (eps, k0). ``eps`` may be EpsParams (host) or EpsArrays
+    (traced).
     """
     x = ga.qp_xy[..., 0]
     y = ga.qp_xy[..., 1]
-    in_core = jnp.zeros(x.shape, dtype=bool)
-    for (cx, cy), r in zip(np.asarray(eps.positions), np.asarray(eps.core_radii)):
-        in_core = in_core | ((x - cx) ** 2 + (y - cy) ** 2 <= r * r)
+    in_core = points_in_cores(x, y, eps.positions, eps.core_radii)
     eps_re = jnp.where(in_core, eps.eps_core, eps.eps_clad)
-    if eps.pml_thickness > 0.0 and eps.pml_start > 0.0:
-        rho = jnp.clip((jnp.sqrt(x * x + y * y) - eps.pml_start)
-                       / eps.pml_thickness, 0.0, 1.0)
-        eps_im = eps_re * eps.pml_strength * rho ** eps.pml_order
-    else:
-        eps_im = jnp.zeros_like(eps_re)
+    rho = jnp.clip((jnp.sqrt(x * x + y * y) - eps.pml_start)
+                   / jnp.maximum(eps.pml_thickness, 1e-30), 0.0, 1.0)
+    sigma = jnp.where((eps.pml_thickness > 0.0) & (eps.pml_start > 0.0),
+                      eps.pml_strength * rho ** eps.pml_order, 0.0)
+    eps_im = eps_re * sigma
     return eps_re, eps_im
 
 
@@ -232,10 +271,7 @@ def core_mask_blocks(ga: GridArrays, positions, radii,
     """
     x = ga.qp_xy[..., 0]
     y = ga.qp_xy[..., 1]
-    in_core = jnp.zeros(x.shape, dtype=bool)
-    for (cx, cy), r in zip(np.asarray(positions), np.asarray(radii)):
-        in_core = in_core | ((x - cx) ** 2 + (y - cy) ** 2
-                             <= (factor * r) ** 2)
+    in_core = points_in_cores(x, y, positions, radii, factor)
     Nq = jnp.broadcast_to(ga.shape_vals[None], ga.qp_w.shape + (6,))
     return _wsum(ga, in_core.astype(ga.qp_w.dtype), Nq, Nq)
 
@@ -249,6 +285,47 @@ def im_eps_mass_blocks(ga: GridArrays, eps_im) -> jax.Array:
     """
     Nq = jnp.broadcast_to(ga.shape_vals[None], ga.qp_w.shape + (6,))
     return _wsum(ga, eps_im, Nq, Nq)
+
+
+# ============================================================================
+# Jitted assembly entry points (compiled once per mesh bucket / n_cores)
+# ============================================================================
+
+@jax.jit
+def assemble_scalar_system(ga: GridArrays, ea: EpsArrays, k0):
+    """(A, B, diag_B32) element blocks of the scalar Helmholtz pencil."""
+    eps_re, _ = eps_at_quadrature(ga, ea)
+    blk = scalar_blocks(ga, eps_re)
+    A = blk["K"] - (k0 * k0) * blk["Me"]
+    B = blk["M"]
+    diag_e = jnp.diagonal(B.astype(jnp.float32), axis1=1, axis2=2)
+    diag = jax.ops.segment_sum(diag_e.reshape(-1),
+                               ga.elem_dofs.reshape(-1),
+                               num_segments=ga.dof_valid.shape[0])
+    diag = jnp.where(ga.dof_valid > 0, diag, 1.0)
+    return A, B, diag
+
+
+@jax.jit
+def assemble_vector3_system(ga: GridArrays, ea: EpsArrays):
+    """Quadrature primitives + mass diagonal for the fixed-beta operator."""
+    eps_re, eps_im = eps_at_quadrature(ga, ea)
+    prim = vector3_primitives(ga, eps_re)
+    Mb = prim["u_nn"]
+    diag_e = jnp.diagonal(Mb.astype(jnp.float32), axis1=1, axis2=2)
+    diag = jax.ops.segment_sum(diag_e.reshape(-1),
+                               ga.elem_dofs.reshape(-1),
+                               num_segments=ga.dof_valid.shape[0])
+    diag = jnp.where(ga.interior_mask > 0, diag, 1.0)
+    return prim, diag, eps_im
+
+
+@jax.jit
+def vector3_stacked_A(prim, beta, alpha_p):
+    """Stacked (E, 18, 18) operator A(beta) from primitives (traced beta)."""
+    from .operators import stack_blocks
+
+    return stack_blocks(combine_vector3(prim, beta, alpha_p), 3)
 
 
 # ============================================================================

@@ -222,18 +222,31 @@ class PencilOps:
 
 
 def solve_lowest(ops: PencilOps, X0: jax.Array, cut: float,
-                 degree: int = 300, passes: int = 3) -> RitzResult:
-    """Smallest eigenpairs of (A, B) below ``cut`` (scalar Helmholtz)."""
+                 degree: int = 300, passes: int = 3,
+                 tol: float = 1e-7, max_passes: int = 10) -> RitzResult:
+    """Smallest eigenpairs of (A, B) below ``cut`` (scalar Helmholtz).
+
+    Runs filter->Rayleigh-Ritz passes until every Ritz pair below ``cut``
+    has relative residual < ``tol`` (at least ``passes``, at most
+    ``max_passes``) — convergence-controlled, not iteration-tuned.
+    """
 
     def apply_L32(V):
         return ops.binv32(ops.apply_A32(V))
 
     X = X0.astype(jnp.float32)
-    for _ in range(passes):
+    rr = None
+    for ip in range(max_passes):
         X = lowest_filter(apply_L32, X, cut, ops.bound, degree)
         X = b_orthonormalize(X.astype(jnp.float64), ops.apply_B64)
         rr = rayleigh_ritz(ops.apply_A64, ops.apply_B64, X)
         X = rr.X.astype(jnp.float32)
+        if ip + 1 >= passes:
+            wanted = np.asarray(rr.theta) < cut
+            res = np.asarray(rr.resnorm)
+            maxres = res[wanted].max() if wanted.any() else res.min()
+            if maxres < tol:
+                break
     return rr
 
 

@@ -1,0 +1,337 @@
+"""Host-side float64 assembly + Rayleigh-Ritz polish.
+
+TPU-native precision split: the device filters subspaces in float32
+(ops/kernels.py — throughput side), while final eigenvalue accuracy
+comes from exact float64 Rayleigh-Ritz against host-assembled CSR
+operators (this module — precision side). The f64 work is O(nnz * k)
+per solve — a few SpMV, negligible next to the device filtering — and
+sidesteps TPU f64 emulation entirely.
+
+The element-block math mirrors ops/assembly.py exactly (same quadrature
+arrays from DeviceGrid, same forms as /root/reference/solver_fem.py:
+131-150, 252-261); parity between the two paths is tested.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from .femgrid import DeviceGrid
+
+
+# ---------------------------------------------------------------------------
+# numpy element blocks (f64, vectorized)
+# ---------------------------------------------------------------------------
+
+def _wsum_np(qp_w, coeff, a, b):
+    return np.einsum("eq,eqi,eqj->eij", qp_w * coeff, a, b, optimize=True)
+
+
+def eps_at_quadrature_np(dg: DeviceGrid, eps) -> Tuple[np.ndarray, np.ndarray]:
+    x = dg.qp_xy[..., 0]
+    y = dg.qp_xy[..., 1]
+    pos = np.asarray(eps.positions)
+    rad = np.asarray(eps.core_radii)
+    d2 = ((x[..., None] - pos[:, 0]) ** 2 + (y[..., None] - pos[:, 1]) ** 2)
+    in_core = np.any(d2 <= rad**2, axis=-1)
+    eps_re = np.where(in_core, eps.eps_core, eps.eps_clad)
+    if eps.pml_thickness > 0.0 and eps.pml_start > 0.0:
+        rho = np.clip((np.hypot(x, y) - eps.pml_start) / eps.pml_thickness,
+                      0.0, 1.0)
+        eps_im = eps_re * eps.pml_strength * rho ** eps.pml_order
+    else:
+        eps_im = np.zeros_like(eps_re)
+    return eps_re, eps_im
+
+
+def scalar_blocks_np(dg: DeviceGrid, eps_re) -> Dict[str, np.ndarray]:
+    gx = dg.grad_phys[..., 0]
+    gy = dg.grad_phys[..., 1]
+    Nq = np.broadcast_to(dg.shape_vals[None], dg.qp_w.shape + (6,))
+    one = np.ones_like(eps_re)
+    return {
+        "K": _wsum_np(dg.qp_w, one, gx, gx) + _wsum_np(dg.qp_w, one, gy, gy),
+        "M": _wsum_np(dg.qp_w, one, Nq, Nq),
+        "Me": _wsum_np(dg.qp_w, eps_re, Nq, Nq),
+    }
+
+
+def vector3_prims_np(dg: DeviceGrid, eps_re) -> Dict[str, np.ndarray]:
+    gx = dg.grad_phys[..., 0]
+    gy = dg.grad_phys[..., 1]
+    Nq = np.broadcast_to(dg.shape_vals[None], dg.qp_w.shape + (6,))
+    inv_eps = 1.0 / eps_re
+    one = np.ones_like(eps_re)
+    out = {}
+    for wname, w in (("i", inv_eps), ("u", one)):
+        out[wname + "_gxgx"] = _wsum_np(dg.qp_w, w, gx, gx)
+        out[wname + "_gygy"] = _wsum_np(dg.qp_w, w, gy, gy)
+        out[wname + "_gxgy"] = _wsum_np(dg.qp_w, w, gx, gy)
+        out[wname + "_nn"] = _wsum_np(dg.qp_w, w, Nq, Nq)
+        out[wname + "_ngx"] = _wsum_np(dg.qp_w, w, Nq, gx)
+        out[wname + "_ngy"] = _wsum_np(dg.qp_w, w, Nq, gy)
+    return out
+
+
+def combine_vector3_np(prim: Dict[str, np.ndarray], beta: float,
+                       alpha_p: float = 1.0,
+                       derivative: bool = False) -> Dict:
+    """Mirror of ops/assembly.py ``combine_vector3`` in numpy."""
+    ap = alpha_p
+    T = lambda M: np.swapaxes(M, 1, 2)  # noqa: E731
+    if not derivative:
+        c0, c1, c2 = 1.0, beta, beta * beta
+    else:
+        c0, c1, c2 = 0.0, 1.0, 2.0 * beta
+    return {
+        (0, 0): c0 * (prim["i_gygy"] + ap * prim["u_gxgx"]) + c2 * prim["i_nn"],
+        (1, 1): c0 * (prim["i_gxgx"] + ap * prim["u_gygy"]) + c2 * prim["i_nn"],
+        (2, 2): c0 * (prim["i_gxgx"] + prim["i_gygy"]) + c2 * ap * prim["u_nn"],
+        (0, 1): c0 * (-T(prim["i_gxgy"]) + ap * prim["u_gxgy"]),
+        (0, 2): c1 * (-prim["i_ngx"] - ap * T(prim["u_ngx"])),
+        (1, 2): c1 * (-prim["i_ngy"] - ap * T(prim["u_ngy"])),
+    }
+
+
+# ---------------------------------------------------------------------------
+# shared-pattern CSR
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SharedCSR:
+    """CSR with a frozen sparsity pattern and pluggable data.
+
+    ``perm`` scatters flat COO entries into CSR data slots (duplicates
+    summed), so re-assembling with new element blocks (e.g. a new beta)
+    is one bincount — no pattern rebuild.
+    """
+
+    indptr: np.ndarray
+    indices: np.ndarray
+    perm: np.ndarray        # (n_coo,) CSR slot of each COO entry
+    shape: Tuple[int, int]
+
+    def with_blocks(self, flat_values: np.ndarray) -> sp.csr_matrix:
+        data = np.bincount(self.perm, weights=flat_values,
+                           minlength=len(self.indices))
+        return sp.csr_matrix((data, self.indices, self.indptr),
+                             shape=self.shape)
+
+
+def build_pattern(rows: np.ndarray, cols: np.ndarray, n: int) -> SharedCSR:
+    order = np.lexsort((cols, rows))
+    r_s, c_s = rows[order], cols[order]
+    new = np.ones(len(r_s), dtype=bool)
+    new[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+    slot_of_sorted = np.cumsum(new) - 1
+    perm = np.empty(len(rows), dtype=np.int64)
+    perm[order] = slot_of_sorted
+    indices = c_s[new]
+    uniq_rows = r_s[new]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, uniq_rows + 1, 1)
+    indptr = np.cumsum(indptr)
+    return SharedCSR(indptr=indptr, indices=indices.astype(np.int32),
+                     perm=perm, shape=(n, n))
+
+
+def scalar_pattern(dg: DeviceGrid) -> SharedCSR:
+    """Pattern for a single-component operator on the valid DOFs."""
+    ed = dg.elem_dofs[: dg.n_elems].astype(np.int64)
+    rows = np.repeat(ed[:, :, None], 6, axis=2).ravel()
+    cols = np.repeat(ed[:, None, :], 6, axis=1).ravel()
+    return build_pattern(rows, cols, dg.n_dofs)
+
+
+def blockc_pattern(dg: DeviceGrid, C: int) -> SharedCSR:
+    """Pattern for a C-component stacked operator (all C^2 couplings)."""
+    ed = dg.elem_dofs[: dg.n_elems].astype(np.int64)
+    n = dg.n_dofs
+    edC = np.concatenate([ed + c * n for c in range(C)], axis=1)  # (T, 6C)
+    rows = np.repeat(edC[:, :, None], 6 * C, axis=2).ravel()
+    cols = np.repeat(edC[:, None, :], 6 * C, axis=1).ravel()
+    return build_pattern(rows, cols, C * n)
+
+
+def stack_blocks_np(blocks: Dict, C: int) -> np.ndarray:
+    some = next(iter(blocks.values()))
+    zero = np.zeros_like(some)
+    rows = []
+    for ci in range(C):
+        cols = []
+        for cj in range(C):
+            if (ci, cj) in blocks:
+                b = blocks[(ci, cj)]
+            elif (cj, ci) in blocks:
+                b = np.swapaxes(blocks[(cj, ci)], 1, 2)
+            else:
+                b = zero
+            cols.append(b)
+        rows.append(np.concatenate(cols, axis=2))
+    return np.concatenate(rows, axis=1)
+
+
+def _flat(blocks: np.ndarray, n_elems: int) -> np.ndarray:
+    return np.ascontiguousarray(blocks[:n_elems]).ravel()
+
+
+# ---------------------------------------------------------------------------
+# f64 pencils with polish operations
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class HostScalarPencil:
+    A: sp.csr_matrix
+    B: sp.csr_matrix
+
+    def rr(self, X: np.ndarray):
+        return rr_pencil(self.A, self.B, X)
+
+
+def build_host_scalar(dg: DeviceGrid, eps_params, k0: float,
+                      pattern: Optional[SharedCSR] = None) -> HostScalarPencil:
+    eps_re, _ = eps_at_quadrature_np(dg, eps_params)
+    blk = scalar_blocks_np(dg, eps_re)
+    pat = pattern or scalar_pattern(dg)
+    A = pat.with_blocks(_flat(blk["K"] - k0**2 * blk["Me"], dg.n_elems))
+    B = pat.with_blocks(_flat(blk["M"], dg.n_elems))
+    return HostScalarPencil(A=A, B=B)
+
+
+@dataclasses.dataclass
+class HostVector3:
+    """A(beta) = A0 + beta A1 + beta^2 A2 over shared pattern; M3 mass."""
+
+    pat: SharedCSR
+    d0: np.ndarray
+    d1: np.ndarray
+    d2: np.ndarray
+    M3: sp.csr_matrix
+    # scalar-pattern data for divergence diagnostics
+    spat: SharedCSR
+    Dxx: sp.csr_matrix
+    Dyy: sp.csr_matrix
+    Dxy: sp.csr_matrix      # [i,j] = int dx phi_i dy phi_j
+
+    def A_of(self, beta: float) -> sp.csr_matrix:
+        data = self.d0 + beta * self.d1 + beta * beta * self.d2
+        return sp.csr_matrix((data, self.pat.indices, self.pat.indptr),
+                             shape=self.pat.shape)
+
+    def Ai(self) -> Tuple[sp.csr_matrix, sp.csr_matrix, sp.csr_matrix]:
+        mk = lambda d: sp.csr_matrix(  # noqa: E731
+            (d, self.pat.indices, self.pat.indptr), shape=self.pat.shape)
+        return mk(self.d0), mk(self.d1), mk(self.d2)
+
+
+def build_host_vector3(dg: DeviceGrid, eps_params,
+                       alpha_p: float = 1.0) -> HostVector3:
+    eps_re, _ = eps_at_quadrature_np(dg, eps_params)
+    prim = vector3_prims_np(dg, eps_re)
+    T = dg.n_elems
+
+    pat = blockc_pattern(dg, 3)
+    A0 = stack_blocks_np(combine_vector3_np(prim, 0.0, alpha_p), 3)
+    A1 = stack_blocks_np(
+        combine_vector3_np(prim, 0.0, alpha_p, derivative=True), 3)
+    Afull = stack_blocks_np(combine_vector3_np(prim, 1.0, alpha_p), 3)
+    A2 = Afull - A0 - A1
+
+    def slots(flat):
+        return np.bincount(pat.perm, weights=flat,
+                           minlength=len(pat.indices))
+
+    d0 = slots(_flat(A0, T))
+    d1 = slots(_flat(A1, T))
+    d2 = slots(_flat(A2, T))
+
+    spat = scalar_pattern(dg)
+    M = spat.with_blocks(_flat(prim["u_nn"], T))
+    M3 = sp.block_diag([M, M, M], format="csr")
+    Dxx = spat.with_blocks(_flat(prim["u_gxgx"], T))
+    Dyy = spat.with_blocks(_flat(prim["u_gygy"], T))
+    Dxy = spat.with_blocks(_flat(prim["u_gxgy"], T))
+    return HostVector3(pat=pat, d0=d0, d1=d1, d2=d2, M3=M3,
+                       spat=spat, Dxx=Dxx, Dyy=Dyy, Dxy=Dxy)
+
+
+# ---------------------------------------------------------------------------
+# f64 subspace algebra
+# ---------------------------------------------------------------------------
+
+def b_orthonormalize_np(X: np.ndarray, B: sp.csr_matrix,
+                        drop_tol: float = 1e-10) -> np.ndarray:
+    """Whiten X in the B inner product; drops near-dependent directions."""
+    G = X.T @ (B @ X)
+    G = 0.5 * (G + G.T)
+    w, V = np.linalg.eigh(G)
+    keep = w > drop_tol * w.max()
+    return X @ (V[:, keep] / np.sqrt(w[keep])[None, :])
+
+
+def rr_pencil(A: sp.csr_matrix, B: sp.csr_matrix, X: np.ndarray,
+              mask: Optional[np.ndarray] = None):
+    """Exact f64 Rayleigh-Ritz of (A, B) on span(X).
+
+    ``mask`` (0/1 per row) restricts the residual to free DOFs when X
+    spans a Dirichlet-constrained subspace (boundary rows of A X are
+    reaction forces, not errors).
+
+    Returns (theta ascending, B-orthonormal Ritz vectors, rel residuals).
+    """
+    X = b_orthonormalize_np(X, B)
+    AX = A @ X
+    H = X.T @ AX
+    H = 0.5 * (H + H.T)
+    theta, V = np.linalg.eigh(H)
+    Xr = X @ V
+    AXr = AX @ V
+    R = AXr - (B @ Xr) * theta[None, :]
+    if mask is not None:
+        R = R * mask[:, None]
+    res = np.linalg.norm(R, axis=0) / (np.linalg.norm(AXr, axis=0) + 1e-300)
+    return theta, Xr, res
+
+
+def quadratic_subspace(hv: HostVector3, X: np.ndarray, k0: float,
+                       beta_lo: float, beta_hi: float,
+                       mask: Optional[np.ndarray] = None):
+    """Solve (A0 + b A1 + b^2 A2 - k0^2 M3) h = 0 projected on span(X).
+
+    Companion linearization of the projected quadratic pencil; keeps
+    real roots in (beta_lo, beta_hi). Returns (betas desc, H fields
+    (n3, m), V basis, residuals of the full-space quadratic pencil).
+    """
+    import scipy.linalg as sla
+
+    V = b_orthonormalize_np(X, hv.M3)
+    A0, A1, A2 = hv.Ai()
+    a0 = V.T @ (A0 @ V)
+    a1 = V.T @ (A1 @ V)
+    a2 = V.T @ (A2 @ V)
+    a0 = 0.5 * (a0 + a0.T)
+    a1 = 0.5 * (a1 + a1.T)
+    a2 = 0.5 * (a2 + a2.T)
+    m = a0.shape[0]
+    Im = np.eye(m)
+    L = np.block([[-a1, -(a0 - k0**2 * Im)], [Im, np.zeros((m, m))]])
+    R = np.block([[a2, np.zeros((m, m))], [np.zeros((m, m)), Im]])
+    w, Z = sla.eig(L, R)
+    keep = (np.abs(w.imag) <= 1e-6 * (np.abs(w.real) + 1.0)) \
+        & (w.real > beta_lo) & (w.real < beta_hi)
+    betas = w.real[keep]
+    ys = Z[m:, keep].real
+    ys /= (np.linalg.norm(ys, axis=0) + 1e-300)
+    order = np.argsort(-betas)
+    betas, ys = betas[order], ys[:, order]
+    H = V @ ys
+    res = np.empty(len(betas))
+    for i, b in enumerate(betas):
+        Ah = hv.A_of(b) @ H[:, i] - k0**2 * (hv.M3 @ H[:, i])
+        if mask is not None:
+            Ah = Ah * mask
+        res[i] = np.linalg.norm(Ah) / (k0**2 * np.linalg.norm(H[:, i]) + 1e-300)
+    return betas, H, V, res

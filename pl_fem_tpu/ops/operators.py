@@ -36,7 +36,8 @@ def scatter_add(Ye: jax.Array, elem_dofs: jax.Array, n_dofs: int) -> jax.Array:
 def elem_matvec(blocks: jax.Array, Xe: jax.Array) -> jax.Array:
     """(E,6,6) @ (E,6,k) -> (E,6,k), MXU batched GEMM."""
     return jnp.einsum("eij,ejk->eik", blocks, Xe,
-                      preferred_element_type=Xe.dtype)
+                      preferred_element_type=Xe.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def make_scalar_apply(blocks: jax.Array, elem_dofs: jax.Array, n_dofs: int,
@@ -120,6 +121,72 @@ def make_blockn_apply(blocks: Dict, n_components: int, elem_dofs: jax.Array,
                 Yc = Yc * mask[:, None] + park * (Xc[c] - Xm[c])
             parts.append(Yc)
         return jnp.concatenate(parts, axis=0)
+
+    return apply
+
+
+def stack_blocks(blocks: Dict, n_components: int) -> jax.Array:
+    """Fuse symmetric component blocks into one (E, 6C, 6C) tensor.
+
+    ``blocks`` maps (ci, cj) with ci <= cj to (E, 6, 6); missing (cj, ci)
+    is the element-wise transpose. The fused tensor turns a C-component
+    operator apply into ONE batched (6C x 6C) GEMM — bigger MXU tiles and
+    a single gather/scatter per apply instead of one per block.
+    """
+    some = next(iter(blocks.values()))
+    E = some.shape[0]
+    zero = jnp.zeros_like(some)
+    rows = []
+    for ci in range(n_components):
+        cols = []
+        for cj in range(n_components):
+            if (ci, cj) in blocks:
+                b = blocks[(ci, cj)]
+            elif (cj, ci) in blocks:
+                b = jnp.swapaxes(blocks[(cj, ci)], 1, 2)
+            else:
+                b = zero
+            cols.append(b)
+        rows.append(jnp.concatenate(cols, axis=2))
+    return jnp.concatenate(rows, axis=1)
+
+
+def stacked_elem_dofs(elem_dofs: jax.Array, n_dofs: int,
+                      n_components: int) -> jax.Array:
+    """(E, 6) -> (E, 6C) global ids into the stacked (C*D,) vector."""
+    return jnp.concatenate(
+        [elem_dofs + c * n_dofs for c in range(n_components)], axis=1)
+
+
+def make_stacked_apply(big_blocks: jax.Array, elem_dofs: jax.Array,
+                       n_dofs: int, n_components: int,
+                       mask: jax.Array | None = None,
+                       park: float = 0.0) -> Callable:
+    """C-component operator as one fused batched GEMM.
+
+    X has shape (C*D, k); the apply is gather -> (E,6C,6C)@(E,6C,k) ->
+    segment-sum, with Dirichlet/pad projection P A P + park (I - P).
+    """
+    ed3 = stacked_elem_dofs(elem_dofs, n_dofs, n_components)
+    C = n_components
+
+    def apply(X):
+        D = n_dofs
+        if mask is not None:
+            maskC = jnp.tile(mask, C)[:, None]
+            Xm = X * maskC
+        else:
+            Xm = X
+        G = Xm[ed3]                                  # (E, 6C, k)
+        Ye = jnp.einsum("eij,ejk->eik", big_blocks, G,
+                        preferred_element_type=G.dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+        Y = jax.ops.segment_sum(
+            Ye.reshape(-1, Ye.shape[-1]), ed3.reshape(-1),
+            num_segments=C * D)
+        if mask is None:
+            return Y
+        return Y * maskC + park * (X - Xm)
 
     return apply
 

@@ -1,0 +1,304 @@
+"""Vectorial H-field Maxwell eigenmode solver.
+
+Capability parity with /root/reference/solver_fem.py:113-239 (Rahman &
+Davies transverse H-field pencil A ht = beta^2 B ht with divergence
+penalty alpha_p = 1, Dirichlet boundary, LP01 sigma estimate, div-ratio
+and radiation filters, polarization classification) — two backends:
+
+- 'hybrid': host f64 CSR of the reference's transverse 2N x 2N pencil
+  -> scipy ``eigsh`` shift-invert on the interior slice. Numerically
+  the reference algorithm (including its penalty-spurious weaknesses).
+
+- 'tpu' (default): a factorization-free reformulation. The transverse
+  pencil's guided modes are *interior* eigenvalues (the reason the
+  reference needs ARPACK + SuperLU). Instead we solve the full-vector
+  curl-curl problem at *fixed propagation constant* beta0,
+
+      A(beta0) h = k0^2 M h,    h = (hx, hy, hz~),
+
+  where guided modes are the SMALLEST eigenvalues — reachable with a
+  float32 low-end Chebyshev filter over matrix-free element-block
+  operators on the device (ops/kernels.py). The filtered subspace V
+  then turns "given k0, find beta" into a small projected quadratic
+  eigenproblem
+
+      (A0 + beta A1 + beta^2 A2 - k0^2 M) y = 0,
+
+  solved on the host in float64 by companion linearization over shared-
+  pattern CSRs (ops/host_assembly.py). A second pass re-filters at the
+  recovered median beta to tighten the subspace.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimulationConfig
+from ..ops.assembly import (
+    assemble_vector3_system,
+    eps_arrays,
+    grid_to_device,
+    vector3_stacked_A,
+)
+from ..ops.eig import scipy_eigsh_pencil
+from ..ops.femgrid import DeviceGrid, FEMGrid, MeshGenerator, export_device_grid
+from ..ops.host_assembly import (
+    HostVector3,
+    build_host_vector3,
+    eps_at_quadrature_np,
+    quadratic_subspace,
+    scalar_pattern,
+    vector3_prims_np,
+)
+from ..ops.kernels import solve_lowest_kernel
+from .postproc import polarization_from_powers, polarization_label
+
+logger = logging.getLogger("pl_fem_tpu.solvers.vectorial")
+
+
+def lp01_neff_estimate(k0: float, r_mean: float, n_core: float,
+                       n_clad: float) -> float:
+    """LP01 effective-index estimate (solver_fem.py:187-193)."""
+    NA = np.sqrt(max(n_core**2 - n_clad**2, 1e-6))
+    V_geom = k0 * r_mean * NA
+    b_approx = max((1.0 - 2.405 / max(V_geom, 2.41)) ** 2, 0.05)
+    n_eff_est = np.sqrt(n_clad**2 + b_approx * (n_core**2 - n_clad**2))
+    return float(np.clip(n_eff_est, n_clad + 0.05, n_core - 0.005))
+
+
+def _as_device_grid(grid, config: SimulationConfig) -> DeviceGrid:
+    if isinstance(grid, DeviceGrid):
+        return grid
+    if isinstance(grid, FEMGrid):
+        return export_device_grid(grid, config.mesh.bucket_rounding)
+    raise TypeError(f"expected FEMGrid or DeviceGrid, got {type(grid)}")
+
+
+class TrueVectorialMaxwellSolver:
+    """Vectorial H-field solver (reference seam: solver_fem.py:113-239)."""
+
+    METHOD_TAG = "H-field_TPU_v1"
+
+    def __init__(self, geometry, use_pml: bool = False,
+                 config: Optional[SimulationConfig] = None):
+        self.geometry = geometry
+        self.k0 = float(geometry.k0)
+        self.use_pml = use_pml
+        self.config = config or SimulationConfig()
+
+    # ------------------------------------------------------------------
+    def solve_vectorial_modes(self, grid=None,
+                              n_modes_target: int = 20) -> List[Dict]:
+        cfg = self.config
+        if grid is None:
+            grid = MeshGenerator.generate(self.geometry,
+                                          cfg.mesh.refinement, cfg)
+        dg = _as_device_grid(grid, cfg)
+        if cfg.solver.backend not in ("tpu", "hybrid"):
+            raise ValueError(f"unknown solver backend "
+                             f"{cfg.solver.backend!r}; use 'tpu' or 'hybrid'")
+        hv = build_host_vector3(dg, self.geometry.eps_params(),
+                                cfg.solver.alpha_penalty)
+        if cfg.solver.backend == "hybrid":
+            betas, hx, hy = self._solve_hybrid(dg, n_modes_target)
+            hz = None
+        else:
+            betas, hx, hy, hz = self._solve_tpu(hv, dg, n_modes_target)
+        return self._postprocess(hv, dg, betas, hx, hy, hz, n_modes_target)
+
+    # -- hybrid backend: reference-identical transverse pencil ----------
+    def _solve_hybrid(self, dg: DeviceGrid, n_modes_target: int):
+        import scipy.sparse as sp
+
+        g = self.geometry
+        ap = self.config.solver.alpha_penalty
+        eps_re, _ = eps_at_quadrature_np(dg, g.eps_params())
+        prim = vector3_prims_np(dg, eps_re)
+        spat = scalar_pattern(dg)
+        T = dg.n_elems
+        k2 = self.k0**2
+
+        def csr(blocks):
+            return spat.with_blocks(
+                np.ascontiguousarray(blocks[:T]).ravel())
+
+        # transverse pencil forms (solver_fem.py:131-167) from primitives
+        Axx = csr(prim["i_gygy"] + ap * prim["u_gxgx"] - k2 * prim["u_nn"])
+        Ayy = csr(prim["i_gxgx"] + ap * prim["u_gygy"] - k2 * prim["u_nn"])
+        Axy = csr(-prim["i_gxgy"] + ap * np.swapaxes(prim["u_gxgy"], 1, 2))
+        Binv = csr(prim["i_nn"])
+
+        n = dg.n_dofs
+        A = sp.bmat([[Axx, Axy], [Axy.T, Ayy]], format="csr")
+        B = sp.bmat([[Binv, None], [None, Binv]], format="csr")
+
+        interior = np.where(dg.interior_mask[:n])[0]
+        idx = np.concatenate([interior, interior + n])
+        A_int = A[idx, :][:, idx]
+        B_int = B[idx, :][:, idx]
+
+        n_eff_est = lp01_neff_estimate(self.k0, float(np.mean(g.core_radii)),
+                                       g.n_core, g.n_clad)
+        sigma = (self.k0 * n_eff_est) ** 2
+        k = min(n_modes_target + 12, A_int.shape[0] - 4)
+        beta_sq, evecs = scipy_eigsh_pencil(A_int, B_int, k=k, sigma=sigma,
+                                            tol=1e-7, maxiter=12000)
+        keep = beta_sq > 0
+        beta_sq, evecs = beta_sq[keep], evecs[:, keep]
+        betas = np.sqrt(beta_sq)
+        ni = len(interior)
+        hx = np.zeros((n, len(betas)))
+        hy = np.zeros((n, len(betas)))
+        hx[interior] = evecs[:ni]
+        hy[interior] = evecs[ni:]
+        return betas, hx, hy
+
+    # -- tpu backend: fixed-beta 3-component + projected quadratic EVP --
+    def _solve_tpu(self, hv: HostVector3, dg: DeviceGrid,
+                   n_modes_target: int):
+        scfg = self.config.solver
+        g = self.geometry
+        k0t = self.k0
+        eps_clad = g.n_clad**2
+        n = dg.n_dofs
+        Dp = dg.n_dofs_padded
+
+        ga = grid_to_device(dg, dtype=jnp.float32)
+        ea = eps_arrays(g.eps_params(), dtype=jnp.float32)
+        prim, diag_M, _ = assemble_vector3_system(ga, ea)
+        Mb = prim["u_nn"]
+
+        n_eff_est = lp01_neff_estimate(k0t, float(np.mean(g.core_radii)),
+                                       g.n_core, g.n_clad)
+        beta0 = k0t * n_eff_est
+        beta_lo = k0t * g.n_clad * (1.0 + 1e-9)
+        beta_hi = k0t * g.n_core * 1.01
+        mask3 = np.tile(dg.interior_mask[:n], 3).astype(np.float64)
+
+        k = min(n_modes_target + scfg.extra_vectors, n)
+        X = jax.random.normal(jax.random.PRNGKey(11), (3 * Dp, k),
+                              dtype=jnp.float32)
+        pooled = None
+        betas = np.zeros(0)
+        H = np.zeros((3 * n, 0))
+
+        for ip in range(max(1, scfg.beta_passes)):
+            cut = min(beta0**2 / eps_clad, 1.35 * k0t**2)
+            park = 10.0 * max(cut, 1.0)
+            big = vector3_stacked_A(prim, jnp.float32(beta0),
+                                    jnp.float32(scfg.alpha_penalty))
+            theta, Xr, res = solve_lowest_kernel(
+                big, Mb, ga.elem_dofs, ga.interior_mask, diag_M, X, cut,
+                ga.elem_valid, C=3, degree=scfg.cheb_degree,
+                passes=scfg.cheb_passes, tol=scfg.scalar_tol, park=park)
+
+            # pool host-side f64 subspace across beta passes
+            Xh = np.asarray(Xr, dtype=np.float64)
+            Xh = np.concatenate([Xh[c * Dp:c * Dp + n] for c in range(3)],
+                                axis=0) * mask3[:, None]
+            pooled = Xh if pooled is None else np.concatenate(
+                [pooled, Xh], axis=1)
+
+            betas, H, _, qres = quadratic_subspace(
+                hv, pooled, k0t, beta_lo, beta_hi, mask=mask3)
+            if len(betas) == 0:
+                break
+            beta_new = float(np.median(betas))
+            if ip + 1 < scfg.beta_passes and abs(beta_new - beta0) > 1e-6:
+                beta0 = beta_new
+                X = Xr
+            else:
+                break
+
+        if len(betas) == 0:
+            z = np.zeros((n, 0))
+            return np.zeros(0), z, z, z
+        hx, hy, hz = H[:n], H[n:2 * n], H[2 * n:]
+        return betas, hx, hy, hz
+
+    # -- shared post-processing (solver_fem.py:199-239), host f64 -------
+    def _postprocess(self, hv: HostVector3, dg: DeviceGrid, betas,
+                     hx, hy, hz, n_modes_target: int) -> List[Dict]:
+        g = self.geometry
+        n = dg.n_dofs
+        if len(betas) == 0:
+            return []
+
+        # normalize transverse energy (solver_fem.py:213)
+        nrm = np.sqrt(np.sum(hx**2, axis=0) + np.sum(hy**2, axis=0)) + 1e-300
+        hx = hx / nrm
+        hy = hy / nrm
+        if hz is not None:
+            hz = hz / nrm
+
+        # divergence energy ratio (solver_fem.py:214-215)
+        div_energy = (np.sum(hx * (hv.Dxx @ hx), axis=0)
+                      + 2.0 * np.sum(hx * (hv.Dxy @ hy), axis=0)
+                      + np.sum(hy * (hv.Dyy @ hy), axis=0))
+        div_ratio = div_energy / np.maximum(betas**2, 1e-12)
+
+        xy = dg.dof_coords[:n]
+        pos = np.asarray(g.positions)
+        rad = np.asarray(g.core_radii)
+        d2 = ((xy[:, 0:1] - pos[None, :, 0]) ** 2
+              + (xy[:, 1:2] - pos[None, :, 1]) ** 2)
+        core = np.any(d2 <= rad[None, :] ** 2, axis=1)
+        interior = dg.interior_mask[:n]
+        frac_core = (core & interior).sum() / max(interior.sum(), 1)
+
+        energy = hx**2 + hy**2
+        tot = energy.sum(axis=0) + 1e-300
+        conf = np.clip(energy[core].sum(axis=0) / tot, 0.0, 1.0)
+
+        # in-core powers with whole-domain fallback (solver_fem.py:88-97)
+        core_m = core if core.any() else interior
+        P_x = (hx**2)[core_m].sum(axis=0) + 1e-300
+        P_y = (hy**2)[core_m].sum(axis=0) + 1e-300
+        pdl, pidx = polarization_from_powers(P_x, P_y)
+        pdl = np.asarray(pdl)
+        pidx = np.asarray(pidx)
+
+        ne = betas / self.k0
+        modes_raw: List[Dict] = []
+        for i in range(len(betas)):
+            if ne[i] <= g.n_clad or ne[i] >= g.n_core * 1.01:
+                continue
+            m = {
+                "n_eff": float(ne[i]),
+                "beta": float(betas[i]),
+                "Ex_dofs": hx[:, i].copy(),
+                "Ey_dofs": hy[:, i].copy(),
+                "P_x": float(P_x[i]),
+                "P_y": float(P_y[i]),
+                "PDL_dB": float(pdl[i]),
+                "polarization": polarization_label(pidx[i]),
+                "confinement": float(conf[i]),
+                "core_overlap": float(conf[i]),
+                "div_ratio": float(div_ratio[i]),
+                "is_vectorial": True,
+                "method": self.METHOD_TAG,
+            }
+            if hz is not None:
+                m["Hz_dofs"] = hz[:, i].copy()
+            modes_raw.append(m)
+        if not modes_raw:
+            return []
+
+        # divergence filter (solver_fem.py:228-231)
+        dr = np.array([m["div_ratio"] for m in modes_raw])
+        dr_thresh = max(np.median(dr) * 10, dr.min() * 50, 1e-6)
+        modes_phys = [m for m in modes_raw if m["div_ratio"] <= dr_thresh]
+
+        # radiation filter (solver_fem.py:234-236)
+        conf_thr = max(5.0 * frac_core, 0.05)
+        modes_guided = [m for m in modes_phys if m["confinement"] >= conf_thr]
+        if not modes_guided:
+            modes_guided = modes_phys
+
+        modes_guided.sort(key=lambda m: -m["n_eff"])
+        return modes_guided
