@@ -1,0 +1,350 @@
+"""Dataset generation orchestrator.
+
+The reference README advertises a ``dataset_generator.py`` (README.md:
+191-206: DatasetGenerator with n_samples, n_cores_list, wavelengths_nm,
+use_cauchy_dispersion, quality_threshold, diversity_filter) that is
+absent from its snapshot; the full per-sample pipeline it implies is
+proven by the record schema (dataset_record.py:129-151): solve ->
+losses mux -> losses demux -> CMT mux -> CMT demux -> quality -> record.
+This module implements that orchestrator explicitly, with the
+reference CLI's skip-and-record failure semantics (main.py:343-386)
+plus what the reference lacks: incremental checkpointing (records are
+appended to ``records.jsonl`` as they complete, and ``resume=True``
+skips already-simulated sample_ids after a crash).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import math
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import SimulationConfig
+from ..materials import IPDipCauchy
+from ..models import MCFGeometry
+from ..ops.femgrid import MeshGenerator, export_device_grid
+from ..physics import LossCalculator
+from ..physics.cmt import CoupledModeTheory
+from ..solvers import ScalarHelmholtzSolver, TrueVectorialMaxwellSolver
+from .parametric_space import (
+    AIR_N,
+    POLYMER_N,
+    ParametricSpace,
+    PhysicalValidator,
+    SampleQualityScorer,
+)
+from .record import DatasetRecord
+from .sampling import SmartSampler
+
+logger = logging.getLogger("pl_fem_tpu.dataset.generator")
+
+C_LIGHT = 299_792_458.0  # m/s
+
+
+class DatasetGenerator:
+    """Per-sample simulation pipeline + batch orchestration."""
+
+    def __init__(self, space: Optional[ParametricSpace] = None,
+                 config: Optional[SimulationConfig] = None,
+                 use_vectorial: bool = True,
+                 use_cauchy_dispersion: bool = False,
+                 n_taper_slices: int = 0,
+                 base_seed: int = 42,
+                 out_dir: Optional[Path] = None):
+        """
+        Args:
+            use_vectorial: full H-field solver (True) or scalar Helmholtz.
+            use_cauchy_dispersion: IP-Dip Cauchy n(lambda) instead of the
+                fixed polymer index (README.md:275).
+            n_taper_slices: if >= 2, re-solve modes at this many taper
+                cross-sections and run CMT mux/demux (the expensive outer
+                product, geometry_unified.py:367-386); 0 skips CMT.
+        """
+        self.space = space or ParametricSpace()
+        self.config = config or SimulationConfig()
+        self.use_vectorial = use_vectorial
+        self.use_cauchy = use_cauchy_dispersion
+        self.n_taper_slices = int(n_taper_slices)
+        self.base_seed = base_seed
+        self.sampler = SmartSampler(self.space, self.config, base_seed)
+        self.validator = PhysicalValidator()
+        self.scorer = SampleQualityScorer()
+        self.out_dir = Path(out_dir) if out_dir is not None else None
+        if self.out_dir is not None:
+            self.out_dir.mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    def _n_core(self, sample: Dict) -> float:
+        wl_um = float(sample.get("wavelength_nm", 1550.0)) / 1000.0
+        base = float(IPDipCauchy.n_um(wl_um)) if self.use_cauchy else POLYMER_N
+        return base + (float(sample.get("delta_n_percent", 1.0)) - 1.0) / 100.0
+
+    def build_geometry(self, sample: Dict) -> MCFGeometry:
+        variant = None
+        if int(sample["n_cores"]) == 6 and \
+                sample.get("arrangement") in ("ring", "pentagon_center"):
+            variant = sample["arrangement"]
+        taper_mm = float(sample.get("taper_length_mm", 0.375))
+        return MCFGeometry(
+            n_cores=int(sample["n_cores"]),
+            pitch_um=float(sample["pitch_um"]),
+            core_radius_um=float(sample["core_radius_um"]),
+            n_core=self._n_core(sample),
+            n_clad=float(sample.get("n_clad", AIR_N)),
+            wavelength_um=float(sample.get("wavelength_nm", 1550.0)) / 1000.0,
+            use_complex_pml=self.config.use_pml,
+            taper_length_um=taper_mm * 1000.0,
+            variant=variant,
+        )
+
+    # ------------------------------------------------------------------
+    def simulate_sample(self, sample: Dict) -> DatasetRecord:
+        """Full pipeline for one design; never raises (skip-and-record)."""
+        rec = DatasetRecord(
+            sample_id=str(sample.get("sample_id", "S?")),
+            n_cores=int(sample.get("n_cores", 0)),
+            core_radius_um=float(sample.get("core_radius_um", 0.0)),
+            pitch_um=float(sample.get("pitch_um", 0.0)),
+            arrangement=str(sample.get("arrangement", "")),
+            delta_n_percent=float(sample.get("delta_n_percent", 0.0)),
+            wavelength_nm=float(sample.get("wavelength_nm", 1550.0)),
+            taper_length_mm=float(sample.get("taper_length_mm", 0.375)),
+            taper_profile=str(sample.get("taper_profile", "exponential")),
+        )
+        t0 = time.time()
+        wl_nm = rec.wavelength_nm
+        try:
+            # 1. geometry
+            geom = self.build_geometry(sample)
+            ok, msg = geom.validate()
+            rec.success_geometry = ok
+            if not ok:
+                rec.error_msg = f"geometry: {msg}"
+                return rec
+            rec.config_type = geom.config_type
+            rec.geometry_config = f"{geom.n_cores}-{geom.config_type}"
+            rec.n_peripheral_cores = geom.n_peripheral
+            rec.R_ring = float(geom.R_ring)
+            rec.packing_efficiency = float(geom.packing_efficiency)
+            rec.n_core = geom.n_core
+            rec.n_clad = geom.n_clad
+            rec.delta_n = geom.delta_n
+            rec.n_polymer = geom.n_core
+            rec.V_number = float(geom.V_number)
+
+            # 2. physics gates
+            okp, msgp, pmetrics = self.validator.validate_sample_physics({
+                **sample, "n_core": geom.n_core, "n_clad": geom.n_clad})
+            rec.success_physics = okp
+            if not okp:
+                rec.error_msg = f"physics: {msgp}"
+                return rec
+            rec.NA_SM = pmetrics.get("NA")
+            rec.V_SM = pmetrics.get("V_number")
+            rec.r_core_SM = geom.r_core
+            rec.n_core_SM = geom.n_core
+            rec.n_clad_SM = geom.n_clad
+            rec.M_max = pmetrics.get("n_modes_est")
+
+            # 3. mesh + solve
+            grid = MeshGenerator.generate(geom, self.config.mesh.refinement,
+                                          self.config)
+            rec.mesh_points = grid.n_points
+            rec.mesh_elements = grid.n_elems
+            rec.n_dofs = grid.n_dofs
+            dg = export_device_grid(grid, self.config.mesh.bucket_rounding)
+
+            n_target = self.config.n_modes_target or \
+                math.ceil(2.8 * geom.n_cores)
+            if self.use_vectorial:
+                solver = TrueVectorialMaxwellSolver(geom, config=self.config)
+                modes = solver.solve_vectorial_modes(dg, n_target)
+            else:
+                modes = ScalarHelmholtzSolver(geom, self.config).solve(
+                    dg, n_target)
+            rec.success_solver = len(modes) > 0
+            if not modes:
+                rec.error_msg = "solver: no guided modes"
+                return rec
+            rec.n_modes_found = len(modes)
+            ne = [m["n_eff"] for m in modes]
+            confs = [m["confinement"] for m in modes]
+            rec.n_eff_max = float(max(ne))
+            rec.n_eff_min = float(min(ne))
+            rec.n_eff_mean = float(np.mean(ne))
+            rec.n_eff_LP01 = rec.n_eff_max
+            rec.confinement_max = float(max(confs))
+            rec.confinement_min = float(min(confs))
+            rec.avg_confinement = float(np.mean(confs))
+
+            # 4. losses mux + demux
+            mux = LossCalculator.calculate_physical_losses(
+                modes, geom, "mux", wl_nm)
+            demux = LossCalculator.calculate_physical_losses(
+                modes, geom, "demux", wl_nm)
+            rec.success_losses = bool(mux.get("success")
+                                      and demux.get("success"))
+            if mux.get("success"):
+                rec.losses_mux = mux
+                rec.IL_phys_mux_dB = mux["IL_dB"]
+                rec.MDL_phys_mux_dB = mux["MDL_dB"]
+                rec.PDL_mux_dB = mux["PDL_dB"]
+                rec.crosstalk_mux_dB = mux["crosstalk_dB"]
+                rec.radiation_mux_dB_m = mux["radiation_loss_dB_per_m"]
+            if demux.get("success"):
+                rec.losses_demux = demux
+                rec.IL_phys_demux_dB = demux["IL_dB"]
+                rec.MDL_phys_demux_dB = demux["MDL_dB"]
+                rec.PDL_demux_dB = demux["PDL_dB"]
+                rec.crosstalk_demux_dB = demux["crosstalk_dB"]
+                rec.radiation_demux_dB_m = demux["radiation_loss_dB_per_m"]
+
+            # 5. CMT over taper slices (optional, the expensive product)
+            if self.n_taper_slices >= 2 and geom.taper_length:
+                self._run_cmt(rec, geom, modes, wl_nm)
+
+            # 6. quality + performance
+            rec.quality_score = self.scorer.score_sample(sample, pmetrics)
+            rec.performance_index = rec.calculate_performance_index()
+            rec.coupling_uniformity = 0.95
+            rec.success = (rec.success_geometry and rec.success_physics
+                           and rec.success_solver and rec.success_losses)
+            return rec
+        except Exception as e:   # skip-and-record (main.py:384-386)
+            logger.warning("sample %s failed: %s", rec.sample_id, e)
+            rec.error_msg = str(e)
+            return rec
+        finally:
+            rec.solver_time_s = time.time() - t0
+
+    # ------------------------------------------------------------------
+    def _run_cmt(self, rec: DatasetRecord, geom: MCFGeometry,
+                 modes: List[Dict], wl_nm: float):
+        """Re-solve at taper slices and propagate (config.py:57-122)."""
+        L = float(geom.taper_length)
+        zs = np.linspace(0.0, L, self.n_taper_slices)
+        n_modes = len(modes)
+        modes_list = []
+        for z in zs:
+            gz = geom.get_tapered(L - z * (1 - 0.35))  # avoid full collapse
+            grid_z = MeshGenerator.generate(gz, self.config.mesh.refinement,
+                                            self.config)
+            dg_z = export_device_grid(grid_z,
+                                      self.config.mesh.bucket_rounding)
+            if self.use_vectorial:
+                mz = TrueVectorialMaxwellSolver(gz, config=self.config) \
+                    .solve_vectorial_modes(dg_z, n_modes)
+                for m in mz:
+                    m["field_vector"] = m["Ex_dofs"]
+            else:
+                mz = ScalarHelmholtzSolver(gz, self.config).solve(
+                    dg_z, n_modes)
+            if len(mz) < n_modes:
+                rec.warnings.append(f"CMT slice z={z:.0f}: "
+                                    f"{len(mz)}/{n_modes} modes")
+                return
+            modes_list.append(mz[:n_modes])
+
+        # pad fields to a common length across slices (meshes differ)
+        dmax = max(len(m["field_vector"]) for ml in modes_list for m in ml)
+        for ml in modes_list:
+            for m in ml:
+                v = np.asarray(m["field_vector"])
+                if len(v) < dmax:
+                    m["field_vector"] = np.concatenate(
+                        [v, np.zeros(dmax - len(v))])
+
+        omega = 2.0 * np.pi * C_LIGHT / (wl_nm * 1e-9)
+        cmt = CoupledModeTheory(omega)
+        A0 = np.zeros(n_modes, dtype=complex)
+        A0[0] = 1.0
+        res_mux = cmt.propagate_cmt(zs, modes_list, A0, "mux")
+        res_demux = cmt.propagate_cmt(zs, modes_list, A0, "demux")
+        rec.cmt_mux = {k: v for k, v in res_mux.items()
+                       if not isinstance(v, np.ndarray)}
+        rec.cmt_demux = {k: v for k, v in res_demux.items()
+                         if not isinstance(v, np.ndarray)}
+        rec.IL_CMT_mux_dB = res_mux["IL_dB"]
+        rec.IL_CMT_demux_dB = res_demux["IL_dB"]
+        rec.power_conservation_mux = res_mux["power_conservation"]
+        rec.power_conservation_demux = res_demux["power_conservation"]
+        ad = cmt.estimate_adiabaticity(zs, modes_list)
+        rec.adiabatic_score = 1.0 if ad["is_adiabatic"] else \
+            max(0.0, 1.0 - 0.1 * ad["n_violations"])
+
+    # ------------------------------------------------------------------
+    def generate(self, n_samples: int, quality_threshold: float = 0.35,
+                 diversity_filter: bool = True,
+                 checkpoint_every: int = 10,
+                 resume: bool = True) -> List[DatasetRecord]:
+        """Sample the space and simulate, with incremental checkpoints."""
+        samples = self.sampler.generate_stratified_samples(
+            n_samples, quality_threshold=quality_threshold,
+            ensure_diversity=diversity_filter)
+
+        done_ids = set()
+        ckpt = (self.out_dir / "records.jsonl") if self.out_dir else None
+        records: List[DatasetRecord] = []
+        if ckpt is not None and resume and ckpt.exists():
+            for line in ckpt.read_text().splitlines():
+                try:
+                    rec = DatasetRecord.from_dict(json.loads(line))
+                    records.append(rec)
+                    done_ids.add(rec.sample_id)
+                except (json.JSONDecodeError, TypeError):
+                    continue
+            if done_ids:
+                logger.info("resume: %d records already done", len(done_ids))
+
+        buffer: List[str] = []
+        for i, sample in enumerate(samples, 1):
+            if sample.get("sample_id") in done_ids:
+                continue
+            rec = self.simulate_sample(sample)
+            records.append(rec)
+            logger.info("[%d/%d] %s: success=%s (%.1fs)", i, len(samples),
+                        rec.sample_id, rec.success, rec.solver_time_s)
+            if ckpt is not None:
+                buffer.append(json.dumps(rec.to_dict()))
+                if len(buffer) >= checkpoint_every:
+                    with open(ckpt, "a") as f:
+                        f.write("\n".join(buffer) + "\n")
+                    buffer.clear()
+        if ckpt is not None and buffer:
+            with open(ckpt, "a") as f:
+                f.write("\n".join(buffer) + "\n")
+
+        if self.out_dir is not None:
+            self.write_csv(records, self.out_dir / "dataset_raw.csv")
+            valid = self.physical_filter(records)
+            self.write_csv(valid, self.out_dir / "dataset_valid_phys.csv")
+        return records
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def physical_filter(records: Sequence[DatasetRecord]
+                        ) -> List[DatasetRecord]:
+        """IL in [0.3, 10] dB and |MDL| < 8 dB (main.py:403-407)."""
+        out = []
+        for r in records:
+            if not r.success or r.IL_phys_mux_dB is None:
+                continue
+            if 0.3 <= r.IL_phys_mux_dB <= 10.0 and \
+                    (r.MDL_phys_mux_dB is None
+                     or abs(r.MDL_phys_mux_dB) < 8.0):
+                out.append(r)
+        return out
+
+    @staticmethod
+    def write_csv(records: Sequence[DatasetRecord], path: Path):
+        import pandas as pd
+
+        if not records:
+            return
+        df = pd.DataFrame([r.to_csv_row() for r in records])
+        df.to_csv(path, index=False)
+        logger.info("wrote %d records -> %s", len(df), path)

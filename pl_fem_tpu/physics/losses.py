@@ -224,10 +224,13 @@ def pdl_realistic(b: ModeBatch, positions: jax.Array, n_pos,
     ne = jnp.sort(jnp.where(b.valid > 0, b.n_eff, -jnp.inf))[::-1]  # desc
     m = b.valid.shape[0]
     gap_valid = (jnp.arange(m) < b.valid.sum() - 1).astype(ne.dtype)
+    # invalid gaps get a large FINITE sentinel: inf would poison the
+    # masked sum below (inf * 0 = nan)
     gaps = jnp.abs(jnp.where(gap_valid > 0, -jnp.diff(ne, append=ne[-1:]),
-                             jnp.inf))
+                             1e30))
     deg = (gaps < 5e-4).astype(ne.dtype) * gap_valid
-    mean_biref = (gaps * deg).sum() / jnp.maximum(deg.sum(), 1.0)
+    mean_biref = jnp.where(deg > 0, gaps, 0.0).sum() \
+        / jnp.maximum(deg.sum(), 1.0)
     k0_m = 2.0 * jnp.pi / (wavelength_nm * 1e-9)
     pdl_biref_deg = 4.343 * k0_m * mean_biref * 375e-6
     ptp = _mmax(b.n_eff, b.valid) - _mmin(b.n_eff, b.valid)

@@ -1,0 +1,152 @@
+"""Dataset layer tests: LHS determinism (sampling.py:160-169 contract),
+validator/scorer gates, diversity filter, record round-trips, and a
+small end-to-end generator run with checkpoint/resume."""
+import json
+
+import numpy as np
+import pytest
+
+from pl_fem_tpu.config import MeshConfig, SimulationConfig, SolverConfig
+from pl_fem_tpu.dataset import (
+    AdaptiveSampler,
+    DatasetGenerator,
+    DatasetRecord,
+    ParametricSpace,
+    PhysicalValidator,
+    SampleQualityScorer,
+    SmartSampler,
+)
+
+
+@pytest.fixture(scope="module")
+def space():
+    return ParametricSpace(n_cores_options=[3, 7])
+
+
+def test_lhs_determinism(space):
+    """Same seed => identical samples (across sampler instances)."""
+    s1 = SmartSampler(space, base_seed=42).generate_stratified_samples(10)
+    s2 = SmartSampler(space, base_seed=42).generate_stratified_samples(10)
+    assert len(s1) == len(s2) > 0
+    for a, b in zip(s1, s2):
+        assert a["sample_id"] == b["sample_id"]
+        assert a["core_radius_um"] == pytest.approx(b["core_radius_um"])
+        assert a["wavelength_nm"] == b["wavelength_nm"]
+    s3 = SmartSampler(space, base_seed=7).generate_stratified_samples(10)
+    assert any(a["core_radius_um"] != b["core_radius_um"]
+               for a, b in zip(s1, s3))
+
+
+def test_samples_respect_bounds_and_gates(space):
+    samples = SmartSampler(space, base_seed=1).generate_stratified_samples(
+        16, quality_threshold=0.35)
+    bounds = space.get_continuous_bounds()
+    validator = PhysicalValidator()
+    for s in samples:
+        for name, (lo, hi) in bounds.items():
+            assert lo <= s[name] <= hi
+        assert s["n_cores"] in (3, 7)
+        ok, _, m = validator.validate_sample_physics(s)
+        assert ok
+        assert 2.4 <= m["V_number"] <= 10.0
+        assert s["quality_score"] >= 0.35
+
+
+def test_validator_rejects_bad_samples(space):
+    v = PhysicalValidator()
+    tiny = {"n_cores": 3, "core_radius_um": 0.2, "pitch_um": 8.0,
+            "delta_n_percent": 1.0, "wavelength_nm": 1550}
+    ok, msg, _ = v.validate_sample_physics(tiny)
+    assert not ok and "V=" in msg
+    overlap = {"n_cores": 7, "core_radius_um": 1.5, "pitch_um": 2.0,
+               "delta_n_percent": 1.5, "wavelength_nm": 1550}
+    ok2, msg2 = space.validate_sample_geometry(overlap)
+    assert not ok2 and "overlap" in msg2
+
+
+def test_diversity_filter(space):
+    sampler = SmartSampler(space, base_seed=5)
+    base = {"n_cores": 7, "core_radius_um": 1.2, "pitch_um": 8.0,
+            "delta_n_percent": 1.5, "taper_length_mm": 0.4,
+            "wavelength_nm": 1550, "sample_id": "A"}
+    clones = [dict(base, sample_id=f"C{i}") for i in range(5)]
+    kept = sampler._ensure_diversity(clones, min_distance=0.05)
+    assert len(kept) == 1
+
+
+def test_adaptive_sampler_loop(space):
+    ad = AdaptiveSampler(space, base_seed=11)
+    # no history -> falls back to stratified
+    first = ad.generate_adaptive_samples(6)
+    assert len(first) > 0
+    ad.update_from_results(first, [True] * len(first))
+    second = ad.generate_adaptive_samples(6)
+    assert len(second) > 0
+    m = ad.get_convergence_metrics()
+    assert m["n_successful"] == len(first)
+    assert not m["converged"]   # needs >= 3 iterations
+    best = ad.get_best_samples(3)
+    assert len(best) <= 3
+
+
+def test_record_roundtrip(tmp_path):
+    rec = DatasetRecord(sample_id="T1", success=True, success_geometry=True,
+                        success_physics=True, success_solver=True,
+                        success_losses=True, n_cores=7, V_number=5.0,
+                        n_core=1.53, n_clad=1.0, n_modes_found=10,
+                        n_eff_max=1.49, IL_phys_mux_dB=2.4,
+                        MDL_phys_mux_dB=0.6, PDL_mux_dB=0.8,
+                        crosstalk_mux_dB=-25.0)
+    ok, errors = rec.validate()
+    assert ok, errors
+    perf = rec.calculate_performance_index()
+    assert 0.0 <= perf <= 2.0
+    p = tmp_path / "rec.json"
+    rec.to_json(p)
+    rec2 = DatasetRecord.from_json(p)
+    assert rec2.sample_id == "T1"
+    assert rec2.IL_phys_mux_dB == pytest.approx(2.4)
+    row = rec.to_csv_row()
+    assert len(row) >= 35
+
+
+def test_record_validation_catches_inconsistency():
+    rec = DatasetRecord(sample_id="BAD", success=True, n_core=1.0,
+                        n_clad=1.5, V_number=30.0)
+    ok, errors = rec.validate()
+    assert not ok
+    assert len(errors) >= 3
+
+
+def test_generator_end_to_end_small(tmp_path):
+    """Tiny scalar-pipeline dataset run with checkpoint + resume."""
+    cfg = SimulationConfig(
+        mesh_min_points=500, mesh_target_points=2000,
+        mesh=MeshConfig(bucket_rounding=256, refinement=0.35),
+        solver=SolverConfig(backend="tpu", cheb_degree=120, cheb_passes=2))
+    space = ParametricSpace(n_cores_options=[3])
+    gen = DatasetGenerator(space=space, config=cfg, use_vectorial=False,
+                           base_seed=2, out_dir=tmp_path)
+    records = gen.generate(2, checkpoint_every=1)
+    assert len(records) == 2
+    n_ok = sum(1 for r in records if r.success)
+    assert n_ok >= 1
+    ck = tmp_path / "records.jsonl"
+    assert ck.exists()
+    lines = [json.loads(line) for line in ck.read_text().splitlines()]
+    assert len(lines) == 2
+    assert (tmp_path / "dataset_raw.csv").exists()
+
+    # resume: nothing re-simulated
+    gen2 = DatasetGenerator(space=space, config=cfg, use_vectorial=False,
+                            base_seed=2, out_dir=tmp_path)
+    records2 = gen2.generate(2, checkpoint_every=1)
+    assert len(records2) == 2
+    lines2 = [json.loads(line) for line in ck.read_text().splitlines()]
+    assert len(lines2) == 2   # no duplicates appended
+
+    ok_rec = next(r for r in records if r.success)
+    assert ok_rec.n_modes_found > 0
+    assert ok_rec.IL_phys_mux_dB is not None
+    assert ok_rec.performance_index is not None
+    assert ok_rec.mesh_points > 0 and ok_rec.solver_time_s > 0

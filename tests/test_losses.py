@@ -146,6 +146,17 @@ def test_crosstalk_scalar_reference_semantics():
     assert xt_deg < -20.0
 
 
+def test_pdl_realistic_degenerate_modes_finite(geom):
+    """Regression: near-degenerate n_eff (real supermode spectra) must
+    give a finite PDL (masked-gap sum once produced inf*0 = nan)."""
+    modes = synthetic_scalar_modes(n=5)
+    for i, m in enumerate(modes):
+        m["n_eff"] = 1.478 + 1e-6 * i
+    pdl = EnhancedLossCalculator._calculate_pdl_realistic(modes, geom, 1550.0)
+    assert np.isfinite(pdl)
+    assert 0.05 <= pdl <= 6.0
+
+
 def test_empty_modes_fail_gracefully(geom):
     out = LossCalculator.calculate_physical_losses([], geom, "mux", 1550.0)
     assert out["success"] is False
