@@ -29,6 +29,8 @@ class GridArrays(NamedTuple):
 
     elem_dofs: jax.Array    # (E, 6) int32
     elem_valid: jax.Array   # (E,) bool
+    dof_gather: jax.Array   # (D, VG) int32 transpose-gather table
+    dof_gather_valid: jax.Array  # (D, VG) bool
     qp_xy: jax.Array        # (E, Q, 2)
     qp_w: jax.Array         # (E, Q)
     grad_phys: jax.Array    # (E, Q, 6, 2)
@@ -42,6 +44,8 @@ def grid_to_device(dg: DeviceGrid, dtype=jnp.float64) -> GridArrays:
     return GridArrays(
         elem_dofs=jnp.asarray(dg.elem_dofs, dtype=jnp.int32),
         elem_valid=jnp.asarray(dg.elem_valid, dtype=bool),
+        dof_gather=jnp.asarray(dg.dof_gather, dtype=jnp.int32),
+        dof_gather_valid=jnp.asarray(dg.dof_gather_valid, dtype=bool),
         qp_xy=jnp.asarray(dg.qp_xy, dtype=dtype),
         qp_w=jnp.asarray(dg.qp_w, dtype=dtype),
         grad_phys=jnp.asarray(dg.grad_phys, dtype=dtype),
@@ -67,6 +71,14 @@ class EpsArrays(NamedTuple):
     pml_thickness: jax.Array
     pml_strength: jax.Array
     pml_order: jax.Array
+
+
+def gather_scatter(ga: GridArrays):
+    """GatherScatter topology bundle for the matrix-free kernels."""
+    from .kernels import GatherScatter
+
+    return GatherScatter(elem_dofs=ga.elem_dofs, idx=ga.dof_gather,
+                         valid=ga.dof_gather_valid)
 
 
 def eps_arrays(p: EpsParams, dtype=jnp.float64) -> EpsArrays:

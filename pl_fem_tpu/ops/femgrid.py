@@ -340,6 +340,8 @@ class DeviceGrid:
     dof_coords: np.ndarray     # (D, 2)
     dof_valid: np.ndarray      # (D,) bool
     interior_mask: np.ndarray  # (D,) bool (False on boundary + pads)
+    dof_gather: np.ndarray     # (D, VG) int32 into flat (E*6) entries
+    dof_gather_valid: np.ndarray  # (D, VG) bool
     n_elems: int               # actual element count
     n_dofs: int                # actual DOF count
     bucket: Tuple[int, int]
@@ -351,6 +353,37 @@ class DeviceGrid:
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+VALENCE_BUCKET = 16  # fixed gather width: keeps shapes bucket-stable
+
+
+def _dof_gather_table(elem_dofs: np.ndarray, n_elems: int, D: int,
+                      width: int = VALENCE_BUCKET):
+    """Transpose of the element->DOF scatter as a bounded gather table.
+
+    For each DOF d, the (element, local) entries that accumulate into it
+    as flat indices e*6+l into the per-element result array. TPU scatter
+    (segment_sum) serializes; a fixed-width gather + sum vectorizes, so
+    the operator apply becomes gather -> batched GEMM -> gather-sum with
+    no scatter anywhere.
+    """
+    flat = elem_dofs[:n_elems].astype(np.int64).ravel()     # entry i -> dof
+    order = np.argsort(flat, kind="stable")
+    sorted_dofs = flat[order]
+    counts = np.bincount(sorted_dofs, minlength=D)
+    vmax = int(counts.max()) if len(counts) else 0
+    if vmax > width:
+        raise ValueError(f"DOF valence {vmax} exceeds gather width {width}; "
+                         "mesh has pathological connectivity")
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    idx = np.zeros((D, width), dtype=np.int32)
+    valid = np.zeros((D, width), dtype=bool)
+    # position of each sorted entry within its dof's run
+    pos = np.arange(len(flat)) - np.repeat(starts, counts)
+    idx[sorted_dofs, pos] = order.astype(np.int32)
+    valid[sorted_dofs, pos] = True
+    return idx, valid
 
 
 def export_device_grid(grid: FEMGrid, bucket_rounding: int = 4096,
@@ -394,6 +427,9 @@ def export_device_grid(grid: FEMGrid, bucket_rounding: int = 4096,
     interior = np.zeros(D, dtype=bool)
     interior[: grid.n_dofs] = grid.interior_mask
 
+    gather_idx, gather_valid = _dof_gather_table(grid.elem_dofs,
+                                                 grid.n_elems, D)
+
     return DeviceGrid(
         elem_dofs=elem_dofs,
         elem_vertices=pad_e(np.stack([v0, v1, v2], axis=1)),
@@ -405,6 +441,8 @@ def export_device_grid(grid: FEMGrid, bucket_rounding: int = 4096,
         dof_coords=dof_coords,
         dof_valid=dof_valid,
         interior_mask=interior,
+        dof_gather=gather_idx,
+        dof_gather_valid=gather_valid,
         n_elems=grid.n_elems,
         n_dofs=grid.n_dofs,
         bucket=(E, D),

@@ -121,6 +121,16 @@ class SharedCSR:
                              shape=self.shape)
 
 
+_PATTERN_CACHE: dict = {}
+
+
+def _grid_key(dg: DeviceGrid, C: int) -> tuple:
+    import zlib
+
+    return (zlib.crc32(dg.elem_dofs[: dg.n_elems].tobytes()),
+            dg.n_elems, dg.n_dofs, C)
+
+
 def build_pattern(rows: np.ndarray, cols: np.ndarray, n: int) -> SharedCSR:
     order = np.lexsort((cols, rows))
     r_s, c_s = rows[order], cols[order]
@@ -139,21 +149,35 @@ def build_pattern(rows: np.ndarray, cols: np.ndarray, n: int) -> SharedCSR:
 
 
 def scalar_pattern(dg: DeviceGrid) -> SharedCSR:
-    """Pattern for a single-component operator on the valid DOFs."""
-    ed = dg.elem_dofs[: dg.n_elems].astype(np.int64)
-    rows = np.repeat(ed[:, :, None], 6, axis=2).ravel()
-    cols = np.repeat(ed[:, None, :], 6, axis=1).ravel()
-    return build_pattern(rows, cols, dg.n_dofs)
+    """Pattern for a single-component operator on the valid DOFs.
+
+    Cached per grid connectivity — designs sharing a mesh (multi-band
+    sweeps, beta passes) reuse one pattern; only data vectors change.
+    """
+    key = _grid_key(dg, 1)
+    pat = _PATTERN_CACHE.get(key)
+    if pat is None:
+        ed = dg.elem_dofs[: dg.n_elems].astype(np.int64)
+        rows = np.repeat(ed[:, :, None], 6, axis=2).ravel()
+        cols = np.repeat(ed[:, None, :], 6, axis=1).ravel()
+        pat = build_pattern(rows, cols, dg.n_dofs)
+        _PATTERN_CACHE[key] = pat
+    return pat
 
 
 def blockc_pattern(dg: DeviceGrid, C: int) -> SharedCSR:
-    """Pattern for a C-component stacked operator (all C^2 couplings)."""
-    ed = dg.elem_dofs[: dg.n_elems].astype(np.int64)
-    n = dg.n_dofs
-    edC = np.concatenate([ed + c * n for c in range(C)], axis=1)  # (T, 6C)
-    rows = np.repeat(edC[:, :, None], 6 * C, axis=2).ravel()
-    cols = np.repeat(edC[:, None, :], 6 * C, axis=1).ravel()
-    return build_pattern(rows, cols, C * n)
+    """Pattern for a C-component stacked operator (cached, see above)."""
+    key = _grid_key(dg, C)
+    pat = _PATTERN_CACHE.get(key)
+    if pat is None:
+        ed = dg.elem_dofs[: dg.n_elems].astype(np.int64)
+        n = dg.n_dofs
+        edC = np.concatenate([ed + c * n for c in range(C)], axis=1)
+        rows = np.repeat(edC[:, :, None], 6 * C, axis=2).ravel()
+        cols = np.repeat(edC[:, None, :], 6 * C, axis=1).ravel()
+        pat = build_pattern(rows, cols, C * n)
+        _PATTERN_CACHE[key] = pat
+    return pat
 
 
 def stack_blocks_np(blocks: Dict, C: int) -> np.ndarray:

@@ -25,16 +25,41 @@ import numpy as np
 # ---------------------------------------------------------------------------
 # primitive applies (inlined by the jitted kernels)
 # ---------------------------------------------------------------------------
+#
+# Operator apply = gather -> batched GEMM -> gather-sum. The accumulation
+# back to DOFs uses the bounded-valence transpose table (femgrid
+# ``_dof_gather_table``) instead of segment_sum: TPU scatters serialize,
+# fixed-width gathers vectorize.
+
+from typing import NamedTuple
 
 
-def _ed3(elem_dofs, D: int, C: int):
-    return jnp.concatenate([elem_dofs + c * D for c in range(C)], axis=1)
+class GatherScatter(NamedTuple):
+    """Grid topology for the matrix-free applies."""
+
+    elem_dofs: jax.Array     # (E, 6) int32
+    idx: jax.Array           # (D, V) int32 flat entries e*6+l
+    valid: jax.Array         # (D, V) bool
 
 
-def _apply_stacked(Abig, elem_dofs, mask, park, X, C: int):
+def _accumulate(Ye, gs: GatherScatter, C: int):
+    """(E, 6C, k) element results -> (C*D, k) DOF sums via gather."""
+    E, sixC, k = Ye.shape
+    flat = Ye.reshape(E * sixC, k)
+    e = gs.idx // 6
+    l = gs.idx - 6 * e
+    parts = []
+    for c in range(C):
+        idxc = e * sixC + c * 6 + l                  # (D, V)
+        g = flat[idxc]                               # (D, V, k)
+        parts.append(jnp.where(gs.valid[..., None], g, 0.0).sum(axis=1))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _apply_stacked(Abig, gs: GatherScatter, mask, park, X, C: int):
     """P A P X + park (I-P) X for the stacked (E,6C,6C) operator."""
     D = mask.shape[0]
-    ed = _ed3(elem_dofs, D, C)
+    ed = jnp.concatenate([gs.elem_dofs + c * D for c in range(C)], axis=1)
     maskC = jnp.tile(mask, C)[:, None].astype(X.dtype)
     Xm = X * maskC
     G = Xm[ed]
@@ -43,12 +68,11 @@ def _apply_stacked(Abig, elem_dofs, mask, park, X, C: int):
     Ye = jnp.einsum("eij,ejk->eik", Abig.astype(X.dtype), G,
                     preferred_element_type=X.dtype,
                     precision=jax.lax.Precision.HIGHEST)
-    Y = jax.ops.segment_sum(Ye.reshape(-1, Ye.shape[-1]), ed.reshape(-1),
-                            num_segments=C * D)
+    Y = _accumulate(Ye, gs, C)
     return Y * maskC + park * (X - Xm)
 
 
-def _apply_mass(Bblk, elem_dofs, mask, X, C: int, park: float = 1.0):
+def _apply_mass(Bblk, gs: GatherScatter, mask, X, C: int, park: float = 1.0):
     """Block-diagonal mass apply (same 6x6 blocks per component)."""
     D = mask.shape[0]
     B = Bblk.astype(X.dtype)
@@ -57,22 +81,21 @@ def _apply_mass(Bblk, elem_dofs, mask, X, C: int, park: float = 1.0):
     for c in range(C):
         Xc = X[c * D:(c + 1) * D]
         Xm = Xc * m
-        Ye = jnp.einsum("eij,ejk->eik", B, Xm[elem_dofs],
+        Ye = jnp.einsum("eij,ejk->eik", B, Xm[gs.elem_dofs],
                         preferred_element_type=X.dtype,
                         precision=jax.lax.Precision.HIGHEST)
-        Yc = jax.ops.segment_sum(Ye.reshape(-1, Ye.shape[-1]),
-                                 elem_dofs.reshape(-1), num_segments=D)
+        Yc = _accumulate(Ye, gs, 1)
         parts.append(Yc * m + park * (Xc - Xm))
     return jnp.concatenate(parts, axis=0)
 
 
-def _apply_binv(Bblk, elem_dofs, mask, dinv_sqrt, lo, hi, X, C: int,
+def _apply_binv(Bblk, gs: GatherScatter, mask, dinv_sqrt, lo, hi, X, C: int,
                 degree: int):
     """Chebyshev semi-iteration for B^{-1} on the Jacobi-scaled mass."""
     ds = jnp.tile(dinv_sqrt, C)[:, None].astype(X.dtype)
 
     def scaled(V):
-        return ds * _apply_mass(Bblk, elem_dofs, mask, ds * V, C)
+        return ds * _apply_mass(Bblk, gs, mask, ds * V, C)
 
     theta = 0.5 * (hi + lo)
     delta = 0.5 * (hi - lo)
@@ -161,11 +184,9 @@ def pencil_bounds_elem(Abig, Bblk, elem_valid, C: int = 1):
 # one filter -> Rayleigh-Ritz pass
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("C", "degree", "binv_degree",
-                                   "renorm_every"))
-def cheb_rr_pass(Abig, Bblk, elem_dofs, mask, dinv_sqrt, lo, hi, park,
-                 X, cut, bound, C: int = 1, degree: int = 300,
-                 binv_degree: int = 8, renorm_every: int = 8):
+def cheb_rr_pass_impl(Abig, Bblk, gs, mask, dinv_sqrt, lo, hi, park,
+                      X, cut, bound, C: int = 1, degree: int = 300,
+                      binv_degree: int = 8, renorm_every: int = 8):
     """Low-end Chebyshev filter + QR-stabilized Rayleigh-Ritz, one pass.
 
     Pure float32 throughout — the TPU fast path (f64 is emulated on TPU
@@ -192,8 +213,8 @@ def cheb_rr_pass(Abig, Bblk, elem_dofs, mask, dinv_sqrt, lo, hi, park,
     h = (0.5 * (bound - cut)).astype(jnp.float32)
 
     def apply_t(V):
-        W = _apply_stacked(A32, elem_dofs, mask, park, V, C)
-        W = _apply_binv(B32, elem_dofs, mask, dinv_sqrt, lo, hi, W, C,
+        W = _apply_stacked(A32, gs, mask, park, V, C)
+        W = _apply_binv(B32, gs, mask, dinv_sqrt, lo, hi, W, C,
                         binv_degree)
         return (W - c * V) / h
 
@@ -214,8 +235,8 @@ def cheb_rr_pass(Abig, Bblk, elem_dofs, mask, dinv_sqrt, lo, hi, park,
     # Rayleigh-Ritz via a Cholesky congruence of the small (k, k) Gram.
     hp = jax.lax.Precision.HIGHEST
     Q, _ = jnp.linalg.qr(Xf)
-    AQ = _apply_stacked(A32, elem_dofs, mask, park, Q, C)
-    BQ = _apply_mass(B32, elem_dofs, mask, Q, C)
+    AQ = _apply_stacked(A32, gs, mask, park, Q, C)
+    BQ = _apply_mass(B32, gs, mask, Q, C)
     H = jnp.matmul(Q.T, AQ, precision=hp)
     G = jnp.matmul(Q.T, BQ, precision=hp)
     H = 0.5 * (H + H.T)
@@ -236,11 +257,33 @@ def cheb_rr_pass(Abig, Bblk, elem_dofs, mask, dinv_sqrt, lo, hi, park,
     return theta, Xr, res
 
 
-def solve_lowest_kernel(Abig, Bblk, elem_dofs, mask, diag_B, X0, cut,
+cheb_rr_pass = partial(jax.jit, static_argnames=(
+    "C", "degree", "binv_degree", "renorm_every"))(cheb_rr_pass_impl)
+
+# Design-batched variant: vmap over a leading axis of every per-design
+# array (different meshes in the SAME bucket share shapes, so one
+# executable serves the whole batch). This is the unit the shard_map
+# dataset engine distributes over the device mesh.
+_BATCH_AXES = (0, 0, 0, 0, 0, None, None, 0, 0, 0, 0)
+
+
+@partial(jax.jit, static_argnames=("C", "degree", "binv_degree",
+                                   "renorm_every"))
+def cheb_rr_pass_batched(Abig, Bblk, gs, mask, dinv_sqrt, lo, hi,
+                         park, X, cut, bound, C: int = 1, degree: int = 300,
+                         binv_degree: int = 8, renorm_every: int = 8):
+    fn = partial(cheb_rr_pass_impl, C=C, degree=degree,
+                 binv_degree=binv_degree, renorm_every=renorm_every)
+    return jax.vmap(fn, in_axes=_BATCH_AXES)(
+        Abig, Bblk, gs, mask, dinv_sqrt, lo, hi, park, X, cut, bound)
+
+
+def solve_lowest_kernel(Abig, Bblk, gs, mask, diag_B, X0, cut,
                         elem_valid, C: int = 1, degree: int = 300,
                         passes: int = 2, tol: float = 1e-7,
                         max_passes: int = 10, park: float = 1.0,
-                        binv_degree: int = 8, seed: int = 0):
+                        binv_degree: int = 8, seed: int = 0,
+                        n_wanted: int = 0):
     """Driver: adaptive filter/RR passes until residuals below tol.
 
     Python-side loop over the jitted kernels above; everything inside is
@@ -258,12 +301,14 @@ def solve_lowest_kernel(Abig, Bblk, elem_dofs, mask, diag_B, X0, cut,
     # f32 filtering floors around a few 1e-6 relative residual; the host
     # float64 polish (ops/host_assembly.py) recovers full accuracy from
     # a subspace at that level, so don't spin extra passes chasing less.
+    # Stall detection: stop when the wanted residual no longer improves.
     eff_tol = max(tol, 5e-6)
     X = X0.astype(jnp.float32)
     theta = Xr = res = None
+    prev = np.inf
     for ip in range(max_passes):
         theta, Xr, res = cheb_rr_pass(
-            Abig, Bblk, elem_dofs, mask, dinv_sqrt, lo, hi,
+            Abig, Bblk, gs, mask, dinv_sqrt, lo, hi,
             jnp.float32(park), X, jnp.float32(cut), bound.astype(jnp.float32),
             C=C, degree=degree, binv_degree=binv_degree)
         X = Xr
@@ -271,7 +316,11 @@ def solve_lowest_kernel(Abig, Bblk, elem_dofs, mask, diag_B, X0, cut,
             th = np.asarray(theta)
             rs = np.asarray(res)
             wanted = th < cut
+            if n_wanted > 0:
+                # only the n_wanted lowest matter (theta is ascending)
+                wanted = wanted & (np.arange(len(th)) < n_wanted)
             maxres = rs[wanted].max() if wanted.any() else rs.min()
-            if maxres < eff_tol:
+            if maxres < eff_tol or maxres > 0.7 * prev:
                 break
+            prev = maxres
     return theta, Xr, res

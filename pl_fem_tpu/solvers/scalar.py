@@ -29,6 +29,7 @@ from ..ops.assembly import (
     GridArrays,
     assemble_scalar_system,
     eps_arrays,
+    gather_scatter,
     grid_to_device,
 )
 from ..ops.eig import scipy_eigsh_pencil
@@ -116,10 +117,10 @@ class ScalarHelmholtzSolver:
         X0 = jax.random.normal(jax.random.PRNGKey(42), (D, k),
                                dtype=jnp.float32)
         theta, X, res = solve_lowest_kernel(
-            pencil.A_blocks, pencil.B_blocks, ga.elem_dofs, ga.dof_valid,
-            pencil.diag_B, X0, cut, ga.elem_valid, C=1,
+            pencil.A_blocks, pencil.B_blocks, gather_scatter(ga),
+            ga.dof_valid, pencil.diag_B, X0, cut, ga.elem_valid, C=1,
             degree=scfg.cheb_degree, passes=scfg.cheb_passes,
-            tol=scfg.scalar_tol, park=1.0)
+            tol=scfg.scalar_tol, park=1.0, n_wanted=k)
 
         # float64 host polish on the filtered subspace
         Xh = np.asarray(X, dtype=np.float64)[:n]

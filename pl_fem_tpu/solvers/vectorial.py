@@ -42,6 +42,7 @@ from ..config import SimulationConfig
 from ..ops.assembly import (
     assemble_vector3_system,
     eps_arrays,
+    gather_scatter,
     grid_to_device,
     vector3_stacked_A,
 )
@@ -193,9 +194,10 @@ class TrueVectorialMaxwellSolver:
             big = vector3_stacked_A(prim, jnp.float32(beta0),
                                     jnp.float32(scfg.alpha_penalty))
             theta, Xr, res = solve_lowest_kernel(
-                big, Mb, ga.elem_dofs, ga.interior_mask, diag_M, X, cut,
-                ga.elem_valid, C=3, degree=scfg.cheb_degree,
-                passes=scfg.cheb_passes, tol=scfg.scalar_tol, park=park)
+                big, Mb, gather_scatter(ga), ga.interior_mask, diag_M, X,
+                cut, ga.elem_valid, C=3, degree=scfg.cheb_degree,
+                passes=scfg.cheb_passes, tol=scfg.scalar_tol, park=park,
+                n_wanted=k)
 
             # pool host-side f64 subspace across beta passes
             Xh = np.asarray(Xr, dtype=np.float64)

@@ -1,0 +1,78 @@
+"""Multi-device design-parallel engine tests on the virtual 8-CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+from pl_fem_tpu.config import MeshConfig, SimulationConfig
+from pl_fem_tpu.models import MCFGeometry
+from pl_fem_tpu.ops.femgrid import MeshGenerator, export_device_grid
+from pl_fem_tpu.parallel import (
+    assemble_design_batch,
+    batched_solve,
+    design_mesh,
+    shard_batch,
+    sharded_residual_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def small_designs():
+    cfg = SimulationConfig(mesh_min_points=200, mesh_target_points=900,
+                           mesh=MeshConfig(bucket_rounding=128))
+    geoms = [MCFGeometry(3, 8.0, 1.3, 1.53, 1.0, wavelength_um=w)
+             for w in (1.50, 1.52, 1.54, 1.56, 1.58, 1.60, 1.62, 1.64)]
+    grid = MeshGenerator.generate(geoms[0], 0.35, cfg)
+    dgs = [export_device_grid(grid, 128) for _ in geoms]
+    return geoms, dgs
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_batched_solve_unsharded_matches_physics(small_designs):
+    geoms, dgs = small_designs
+    batch = assemble_design_batch(geoms[:2], dgs[:2], vectorial=True)
+    theta, X, res = batched_solve(batch, k=6, degree=60, passes=3)
+    th = np.asarray(theta)
+    assert th.shape == (2, 6)
+    # each design's lowest eigenvalue sits below the radiation cut
+    cut = np.asarray(batch.cut)
+    assert (th[:, 0] < cut).all()
+    assert np.isfinite(np.asarray(res)).all()
+
+
+def test_sharded_solve_matches_single_device(small_designs):
+    geoms, dgs = small_designs
+    batch = assemble_design_batch(geoms, dgs, vectorial=True)
+    theta_ref, _, _ = batched_solve(batch, k=6, degree=60, passes=2)
+
+    mesh = design_mesh(jax.devices()[:8])
+    sharded = shard_batch(batch, mesh)
+    theta_sh, X_sh, res_sh = batched_solve(sharded, k=6, degree=60, passes=2)
+    # deterministic inputs -> sharded result equals single-device result
+    np.testing.assert_allclose(np.asarray(theta_sh), np.asarray(theta_ref),
+                               rtol=1e-4, atol=1e-5)
+    # outputs actually live on the design-sharded layout
+    assert len(theta_sh.sharding.device_set) == 8
+
+    maxres, count = sharded_residual_stats(res_sh, theta_sh, sharded.cut,
+                                           mesh)
+    assert np.isfinite(float(maxres))
+    assert float(count) > 0
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    theta, X, res = out
+    assert np.isfinite(np.asarray(theta)).all()
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
