@@ -31,6 +31,7 @@ class GridArrays(NamedTuple):
     elem_valid: jax.Array   # (E,) bool
     dof_gather: jax.Array   # (D, VG) int32 transpose-gather table
     dof_gather_valid: jax.Array  # (D, VG) bool
+    inv_jt: jax.Array       # (E, 2, 2) J^{-T}
     qp_xy: jax.Array        # (E, Q, 2)
     qp_w: jax.Array         # (E, Q)
     grad_phys: jax.Array    # (E, Q, 6, 2)
@@ -46,6 +47,7 @@ def grid_to_device(dg: DeviceGrid, dtype=jnp.float64) -> GridArrays:
         elem_valid=jnp.asarray(dg.elem_valid, dtype=bool),
         dof_gather=jnp.asarray(dg.dof_gather, dtype=jnp.int32),
         dof_gather_valid=jnp.asarray(dg.dof_gather_valid, dtype=bool),
+        inv_jt=jnp.asarray(dg.inv_jt, dtype=dtype),
         qp_xy=jnp.asarray(dg.qp_xy, dtype=dtype),
         qp_w=jnp.asarray(dg.qp_w, dtype=dtype),
         grad_phys=jnp.asarray(dg.grad_phys, dtype=dtype),
@@ -330,6 +332,25 @@ def assemble_vector3_system(ga: GridArrays, ea: EpsArrays):
                                num_segments=ga.dof_valid.shape[0])
     diag = jnp.where(ga.interior_mask > 0, diag, 1.0)
     return prim, diag, eps_im
+
+
+@jax.jit
+def assemble_vector3_qf(ga: GridArrays, ea: EpsArrays):
+    """Quadrature factors + mass diagonal for the matrix-free path."""
+    from .kernels import QFactor, _N_REF
+
+    eps_re, _ = eps_at_quadrature(ga, ea)
+    qf = QFactor(invJT=ga.inv_jt.astype(jnp.float32),
+                 w=ga.qp_w.astype(jnp.float32),
+                 inv_eps=(1.0 / eps_re).astype(jnp.float32))
+    diag_e = jnp.einsum("eq,qi->ei", qf.w, _N_REF**2)
+    flat = diag_e.reshape(-1)
+    e = ga.dof_gather // 6
+    l = ga.dof_gather - 6 * e
+    gathered = flat[e * 6 + l]
+    diag = jnp.where(ga.dof_gather_valid, gathered, 0.0).sum(axis=1)
+    diag = jnp.where(ga.interior_mask > 0, diag, 1.0)
+    return qf, diag
 
 
 @jax.jit

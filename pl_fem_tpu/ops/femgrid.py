@@ -342,6 +342,7 @@ class DeviceGrid:
     interior_mask: np.ndarray  # (D,) bool (False on boundary + pads)
     dof_gather: np.ndarray     # (D, VG) int32 into flat (E*6) entries
     dof_gather_valid: np.ndarray  # (D, VG) bool
+    inv_jt: np.ndarray         # (E, 2, 2) J^{-T} per element
     n_elems: int               # actual element count
     n_dofs: int                # actual DOF count
     bucket: Tuple[int, int]
@@ -443,6 +444,7 @@ def export_device_grid(grid: FEMGrid, bucket_rounding: int = 4096,
         interior_mask=interior,
         dof_gather=gather_idx,
         dof_gather_valid=gather_valid,
+        inv_jt=pad_e(invJT),
         n_elems=grid.n_elems,
         n_dofs=grid.n_dofs,
         bucket=(E, D),

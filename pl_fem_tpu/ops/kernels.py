@@ -120,6 +120,453 @@ def _apply_binv(Bblk, gs: GatherScatter, mask, dinv_sqrt, lo, hi, X, C: int,
 
 
 # ---------------------------------------------------------------------------
+# quadrature-factor matrix-free applies (bandwidth-optimal hot path)
+# ---------------------------------------------------------------------------
+#
+# The blocks form streams (E, 18, 18) = 324 floats/element from HBM on
+# EVERY Chebyshev step — measured bandwidth-bound on TPU. The quadrature
+# factorization stores only 16 floats/element (invJT 4, |detJ|-scaled
+# weights Q, 1/eps Q) and reconstructs the operator action through
+# SHARED reference tensors (N (Q,6), dN (Q,6,2)) — ~20x less element
+# traffic per step at a modest flop increase.
+
+
+def _reference_tensors():
+    from .quadrature import RULES, p2_shape
+
+    qp, qw = RULES[4]
+    N, dN = p2_shape(qp)
+    return (jnp.asarray(N, jnp.float32), jnp.asarray(dN, jnp.float32),
+            jnp.asarray(qw, jnp.float32))
+
+
+_N_REF, _DN_REF, _QW_REF = _reference_tensors()
+
+
+class QFactor(NamedTuple):
+    """Per-element quadrature factors of the vectorial operator family."""
+
+    invJT: jax.Array       # (E, 2, 2) float32 J^{-T}
+    w: jax.Array           # (E, Q) |detJ|-scaled quadrature weights
+    inv_eps: jax.Array     # (E, Q) 1/Re(eps) at quadrature points
+
+
+def _qp_eval(U, qf: QFactor):
+    """Nodal (E, C, 6, k) -> values (E, C, Q, k) and physical gradients
+    (E, C, Q, 2, k)."""
+    hp = jax.lax.Precision.HIGHEST
+    V = jnp.einsum("qi,ecik->ecqk", _N_REF, U, precision=hp)
+    R = jnp.einsum("qid,ecik->ecqdk", _DN_REF, U, precision=hp)
+    G = jnp.einsum("ead,ecqdk->ecqak", qf.invJT, R, precision=hp)
+    return V, G
+
+
+def _qp_adjoint(S, T, qf: QFactor):
+    """Adjoint of _qp_eval: value-channel S (E, C, Q, k) and gradient-
+    channel T (E, C, Q, 2, k) -> nodal (E, C, 6, k)."""
+    hp = jax.lax.Precision.HIGHEST
+    Y = jnp.einsum("qi,ecqk->ecik", _N_REF, S, precision=hp)
+    Rt = jnp.einsum("ead,ecqak->ecqdk", qf.invJT, T, precision=hp)
+    Y = Y + jnp.einsum("qid,ecqdk->ecik", _DN_REF, Rt, precision=hp)
+    return Y
+
+
+def _apply_vector3_qf(qf: QFactor, gs: GatherScatter, mask, park, beta,
+                      alpha, X):
+    """Matrix-free A(beta) apply for h = (hx, hy, hz~) (C = 3).
+
+    Weak form (assembly.vector3_primitives docstring):
+        int (1/eps)[|dy hz - b hy|^2 + |b hx - dx hz|^2 + |dx hy - dy hx|^2]
+        + alpha int |dx hx + dy hy - b hz|^2
+    evaluated per quadrature point and pulled back through the adjoint.
+    """
+    D = mask.shape[0]
+    ed = jnp.concatenate([gs.elem_dofs + c * D for c in range(3)], axis=1)
+    maskC = jnp.tile(mask, 3)[:, None].astype(X.dtype)
+    Xm = X * maskC
+    U = Xm[ed]                                   # (E, 18, k)
+    E, _, k = U.shape
+    U = U.reshape(E, 3, 6, k)
+
+    V, G = _qp_eval(U, qf)
+    Vx, Vy, Vz = V[:, 0], V[:, 1], V[:, 2]       # (E, Q, k)
+    Gx, Gy, Gz = G[:, 0], G[:, 1], G[:, 2]       # (E, Q, 2, k)
+
+    c1 = Gz[:, :, 1] - beta * Vy                 # dy hz - b hy
+    c2 = beta * Vx - Gz[:, :, 0]                 # b hx - dx hz
+    c3 = Gy[:, :, 0] - Gx[:, :, 1]               # dx hy - dy hx
+    dv = Gx[:, :, 0] + Gy[:, :, 1] - beta * Vz   # div_t - b hz
+
+    we = (qf.w * qf.inv_eps)[..., None]
+    wa = (qf.w * alpha)[..., None]
+    c1h = we * c1
+    c2h = we * c2
+    c3h = we * c3
+    dvh = wa * dv
+
+    # value-channel and gradient-channel integrand weights per component
+    S = jnp.stack([beta * c2h, -beta * c1h, -beta * dvh], axis=1)
+    Tx = jnp.stack([dvh, c3h, -c2h], axis=1)     # d/dx test channels
+    Ty = jnp.stack([-c3h, dvh, c1h], axis=1)     # d/dy test channels
+    T = jnp.stack([Tx, Ty], axis=3)              # (E, 3, Q, 2, k)
+
+    Ye = _qp_adjoint(S, T, qf).reshape(E, 18, k)
+    Y = _accumulate(Ye, gs, 3)
+    return Y * maskC + park * (X - Xm)
+
+
+def _apply_mass_qf(qf: QFactor, gs: GatherScatter, mask, X, C: int,
+                   park: float = 1.0):
+    """Matrix-free plain-mass apply per component."""
+    hp = jax.lax.Precision.HIGHEST
+    D = mask.shape[0]
+    m = mask[:, None].astype(X.dtype)
+    parts = []
+    for c in range(C):
+        Xc = X[c * D:(c + 1) * D]
+        Xm = Xc * m
+        U = Xm[gs.elem_dofs]                     # (E, 6, k)
+        V = jnp.einsum("qi,eik->eqk", _N_REF, U, precision=hp)
+        S = qf.w[..., None] * V
+        Ye = jnp.einsum("qi,eqk->eik", _N_REF, S, precision=hp)
+        Yc = _accumulate(Ye, gs, 1)
+        parts.append(Yc * m + park * (Xc - Xm))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _apply_binv_qf(qf: QFactor, gs: GatherScatter, mask, dinv_sqrt, lo, hi,
+                   X, C: int, degree: int):
+    """Chebyshev B^{-1} with the matrix-free mass apply."""
+    ds = jnp.tile(dinv_sqrt, C)[:, None].astype(X.dtype)
+
+    def scaled(V):
+        return ds * _apply_mass_qf(qf, gs, mask, ds * V, C)
+
+    theta = 0.5 * (hi + lo)
+    delta = 0.5 * (hi - lo)
+    sigma1 = theta / delta
+    Yh = ds * X
+    Z = jnp.zeros_like(Yh)
+    R = Yh
+    Dd = R / theta
+    rho = 1.0 / sigma1
+
+    def body(_, carry):
+        Z, R, Dd, rho = carry
+        Z = Z + Dd
+        R = R - scaled(Dd)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        Dd = rho_new * rho * Dd + (2.0 * rho_new / delta) * R
+        return Z, R, Dd, rho_new
+
+    Z, R, Dd, rho = jax.lax.fori_loop(0, degree, body, (Z, R, Dd, rho))
+    return ds * (Z + Dd)
+
+
+def cheb_rr_pass_qf_impl(qf, gs, mask, dinv_sqrt, lo, hi, park, beta,
+                         alpha, X, cut, bound, degree: int = 300,
+                         binv_degree: int = 4, renorm_every: int = 8):
+    """Quadrature-factor variant of cheb_rr_pass_impl (C = 3 vectorial).
+
+    ``beta`` is traced — beta passes and per-design beta values reuse
+    one executable. ``binv_degree`` defaults lower than the blocks path:
+    the f32 subspace floor is set by quasi-degenerate cluster mixing
+    (resolved exactly by the host f64 polish), so a looser approximate
+    B^{-1} costs nothing in final accuracy.
+    """
+    c = (0.5 * (bound + cut)).astype(jnp.float32)
+    h = (0.5 * (bound - cut)).astype(jnp.float32)
+
+    def apply_t(V):
+        W = _apply_vector3_qf(qf, gs, mask, park, beta, alpha, V)
+        W = _apply_binv_qf(qf, gs, mask, dinv_sqrt, lo, hi, W, 3,
+                           binv_degree)
+        return (W - c * V) / h
+
+    T0 = X.astype(jnp.float32)
+    T1 = apply_t(T0)
+
+    def body(i, carry):
+        T0, T1 = carry
+        T2 = 2.0 * apply_t(T1) - T0
+        do = (i % renorm_every) == (renorm_every - 1)
+        s = 1.0 / (jnp.linalg.norm(T2, axis=0, keepdims=True) + 1e-30)
+        s = jnp.where(do, s, jnp.ones_like(s))
+        return T1 * s, T2 * s
+
+    _, Xf = jax.lax.fori_loop(1, degree, body, (T0, T1))
+
+    hp = jax.lax.Precision.HIGHEST
+    Q, _ = jnp.linalg.qr(Xf)
+    AQ = _apply_vector3_qf(qf, gs, mask, park, beta, alpha, Q)
+    BQ = _apply_mass_qf(qf, gs, mask, Q, 3)
+    H = jnp.matmul(Q.T, AQ, precision=hp)
+    G = jnp.matmul(Q.T, BQ, precision=hp)
+    H = 0.5 * (H + H.T)
+    G = 0.5 * (G + G.T)
+    k = H.shape[0]
+    G = G + (1e-6 * jnp.trace(G) / k) * jnp.eye(k, dtype=G.dtype)
+    L = jnp.linalg.cholesky(G)
+    Hw = jax.scipy.linalg.solve_triangular(L, H, lower=True)
+    Hw = jax.scipy.linalg.solve_triangular(L, Hw.T, lower=True)
+    Hw = 0.5 * (Hw + Hw.T)
+    theta, W = jnp.linalg.eigh(Hw)
+    Y = jax.scipy.linalg.solve_triangular(L.T, W, lower=False)
+    Xr = jnp.matmul(Q, Y, precision=hp)
+    AXr = jnp.matmul(AQ, Y, precision=hp)
+    BXr = jnp.matmul(BQ, Y, precision=hp)
+    R = AXr - BXr * theta[None, :]
+    res = jnp.linalg.norm(R, axis=0) / (jnp.linalg.norm(AXr, axis=0) + 1e-30)
+    return theta, Xr, res
+
+
+cheb_rr_pass_qf = partial(jax.jit, static_argnames=(
+    "degree", "binv_degree", "renorm_every"))(cheb_rr_pass_qf_impl)
+
+_QF_BATCH_AXES = (0, 0, 0, 0, None, None, 0, 0, None, 0, 0, 0)
+
+
+@partial(jax.jit, static_argnames=("degree", "binv_degree", "renorm_every"))
+def cheb_rr_pass_qf_batched(qf, gs, mask, dinv_sqrt, lo, hi, park, beta,
+                            alpha, X, cut, bound, degree: int = 300,
+                            binv_degree: int = 4, renorm_every: int = 8):
+    fn = partial(cheb_rr_pass_qf_impl, degree=degree,
+                 binv_degree=binv_degree, renorm_every=renorm_every)
+    return jax.vmap(fn, in_axes=_QF_BATCH_AXES)(
+        qf, gs, mask, dinv_sqrt, lo, hi, park, beta, alpha, X, cut, bound)
+
+
+# ---------------------------------------------------------------------------
+# same-grid sweep: B designs packed along the lane axis
+# ---------------------------------------------------------------------------
+#
+# Gather cost on TPU is per-ROW (measured ~constant from k=22 to k=64),
+# so packing a sweep of B same-grid designs into X (CD, B, k) amortizes
+# every gather over B designs: the topology (gs, invJT, w, mass) is
+# shared; only 1/eps, beta, cut, park vary per design and enter as
+# broadcast weights. This is the multi-band/multi-delta-n dataset
+# workload (BASELINE config 2) — B designs for roughly the cost of one.
+
+
+class QFactorSweep(NamedTuple):
+    invJT: jax.Array      # (E, 2, 2) shared
+    w: jax.Array          # (E, Q) shared
+    inv_eps: jax.Array    # (B, E, Q) per design
+
+
+def _apply_vector3_sweep(qs: QFactorSweep, gs: GatherScatter, mask, park,
+                         betas, alpha, X):
+    """Packed A(beta_b) apply: X (3D, B, k) -> (3D, B, k).
+
+    Every contraction and every elementwise op runs on the FUSED minor
+    axis M = B*k (per-design quantities broadcast through free
+    (..., B, k) views), so the lane dimension stays wide throughout —
+    the layout that makes the packing pay off.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    CD, B, k = X.shape
+    M = B * k
+    D = mask.shape[0]
+    ed = jnp.concatenate([gs.elem_dofs + c * D for c in range(3)], axis=1)
+    maskC = jnp.tile(mask, 3)[:, None].astype(X.dtype)
+    Xf = X.reshape(CD, M)
+    Xm = Xf * maskC
+    U = Xm[ed]                                    # (E, 18, M)
+    E = U.shape[0]
+    U = U.reshape(E, 3, 6, M)
+
+    V = jnp.einsum("qi,ecim->ecqm", _N_REF, U, precision=hp)
+    R = jnp.einsum("qid,ecim->ecqdm", _DN_REF, U, precision=hp)
+    G = jnp.einsum("ead,ecqdm->ecqam", qs.invJT, R, precision=hp)
+    Q = V.shape[2]
+
+    def bk(A):                                    # (E, Q, M) -> (E, Q, B, k)
+        return A.reshape(E, Q, B, k)
+
+    b = betas[None, None, :, None]
+    c1 = bk(G[:, 2, :, 1]) - b * bk(V[:, 1])      # dy hz - b hy
+    c2 = b * bk(V[:, 0]) - bk(G[:, 2, :, 0])      # b hx - dx hz
+    c3 = bk(G[:, 1, :, 0]) - bk(G[:, 0, :, 1])    # dx hy - dy hx
+    dv = bk(G[:, 0, :, 0]) + bk(G[:, 1, :, 1]) - b * bk(V[:, 2])
+
+    we = (qs.w[:, :, None] * jnp.moveaxis(qs.inv_eps, 0, 2))[..., None]
+    wa = (qs.w * alpha)[:, :, None, None]
+    c1h = we * c1
+    c2h = we * c2
+    c3h = we * c3
+    dvh = wa * dv
+
+    def fl(A):                                    # (E, Q, B, k) -> (E, Q, M)
+        return A.reshape(E, Q, M)
+
+    S = jnp.stack([fl(b * c2h), fl(-b * c1h), fl(-b * dvh)],
+                  axis=1)                         # (E, 3, Q, M)
+    Tx = jnp.stack([fl(dvh), fl(c3h), fl(-c2h)], axis=1)
+    Ty = jnp.stack([fl(-c3h), fl(dvh), fl(c1h)], axis=1)
+    T = jnp.stack([Tx, Ty], axis=3)               # (E, 3, Q, 2, M)
+
+    Y = jnp.einsum("qi,ecqm->ecim", _N_REF, S, precision=hp)
+    Rt = jnp.einsum("ead,ecqam->ecqdm", qs.invJT, T, precision=hp)
+    Y = Y + jnp.einsum("qid,ecqdm->ecim", _DN_REF, Rt, precision=hp)
+    Ye = Y.reshape(E, 18, M)
+    Yd = _accumulate(Ye, gs, 3) * maskC           # (3D, M)
+    out = Yd.reshape(CD, B, k) \
+        + park[None, :, None] * (Xf - Xm).reshape(CD, B, k)
+    return out
+
+
+def cheb_rr_pass_sweep_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
+                            alpha, X, cuts, bounds, degree: int = 300,
+                            binv_degree: int = 4, renorm_every: int = 8):
+    """Packed sweep filter + per-design Rayleigh-Ritz.
+
+    X: (3D, B, k); parks/betas/cuts/bounds: (B,). Mass/binv are shared
+    (same grid), applied on the (3D, B*k) reshape. Returns per-design
+    (theta (B, k), X (3D, B, k), res (B, k)).
+    """
+    CD, B, k = X.shape
+    qfm = QFactor(invJT=qs.invJT, w=qs.w, inv_eps=qs.inv_eps[0])
+
+    def mass_flat(V):
+        return _apply_mass_qf(qfm, gs, mask, V.reshape(CD, B * k),
+                              3).reshape(CD, B, k)
+
+    def binv_flat(V):
+        return _apply_binv_qf(qfm, gs, mask, dinv_sqrt, lo, hi,
+                              V.reshape(CD, B * k), 3,
+                              binv_degree).reshape(CD, B, k)
+
+    c = (0.5 * (bounds + cuts)).astype(jnp.float32)[None, :, None]
+    h = (0.5 * (bounds - cuts)).astype(jnp.float32)[None, :, None]
+
+    def apply_t(V):
+        W = _apply_vector3_sweep(qs, gs, mask, parks, betas, alpha, V)
+        W = binv_flat(W)
+        return (W - c * V) / h
+
+    T0 = X.astype(jnp.float32)
+    T1 = apply_t(T0)
+
+    def body(i, carry):
+        T0, T1 = carry
+        T2 = 2.0 * apply_t(T1) - T0
+        do = (i % renorm_every) == (renorm_every - 1)
+        s = 1.0 / (jnp.linalg.norm(T2, axis=0, keepdims=True) + 1e-30)
+        s = jnp.where(do, s, jnp.ones_like(s))
+        return T1 * s, T2 * s
+
+    _, Xf = jax.lax.fori_loop(1, degree, body, (T0, T1))
+
+    # per-design QR (vmapped small-path), packed applies for A/B
+    hp = jax.lax.Precision.HIGHEST
+    Q = jax.vmap(lambda x: jnp.linalg.qr(x)[0])(
+        jnp.moveaxis(Xf, 1, 0))                   # (B, CD, k)
+    Qp = jnp.moveaxis(Q, 0, 1)                    # (CD, B, k)
+    AQ = _apply_vector3_sweep(qs, gs, mask, parks, betas, alpha, Qp)
+    BQ = mass_flat(Qp)
+    H = jnp.einsum("dbk,dbl->bkl", Qp, AQ, precision=hp)
+    G = jnp.einsum("dbk,dbl->bkl", Qp, BQ, precision=hp)
+    H = 0.5 * (H + jnp.swapaxes(H, 1, 2))
+    G = 0.5 * (G + jnp.swapaxes(G, 1, 2))
+    G = G + (1e-6 * jnp.trace(G, axis1=1, axis2=2)[:, None, None] / k) \
+        * jnp.eye(k, dtype=G.dtype)[None]
+
+    def rr_small(Hb, Gb):
+        L = jnp.linalg.cholesky(Gb)
+        Hw = jax.scipy.linalg.solve_triangular(L, Hb, lower=True)
+        Hw = jax.scipy.linalg.solve_triangular(L, Hw.T, lower=True)
+        Hw = 0.5 * (Hw + Hw.T)
+        theta, W = jnp.linalg.eigh(Hw)
+        Y = jax.scipy.linalg.solve_triangular(L.T, W, lower=False)
+        return theta, Y
+
+    theta, Ys = jax.vmap(rr_small)(H, G)          # (B, k), (B, k, k)
+    Xr = jnp.einsum("dbk,bkl->dbl", Qp, Ys, precision=hp)
+    AXr = jnp.einsum("dbk,bkl->dbl", AQ, Ys, precision=hp)
+    BXr = jnp.einsum("dbk,bkl->dbl", BQ, Ys, precision=hp)
+    Rs = AXr - BXr * theta[None]                  # (CD, B, k)
+    res = (jnp.linalg.norm(Rs, axis=0)
+           / (jnp.linalg.norm(AXr, axis=0) + 1e-30))   # (B, k)
+    return theta, Xr, res
+
+
+cheb_rr_pass_sweep = partial(jax.jit, static_argnames=(
+    "degree", "binv_degree", "renorm_every"))(cheb_rr_pass_sweep_impl)
+
+
+def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
+                       alpha, bounds, degree: int = 300, passes: int = 2,
+                       tol: float = 1e-7, max_passes: int = 8,
+                       parks=None, binv_degree: int = 4,
+                       n_wanted: int = 0):
+    """Adaptive driver for the packed same-grid sweep."""
+    eff_tol = max(tol, 5e-6)
+    dinv_sqrt = (1.0 / jnp.sqrt(jnp.maximum(diag_B, 1e-30))
+                 ).astype(jnp.float32)
+    lo = jnp.asarray(MASS_LO, jnp.float32)
+    hi = jnp.asarray(MASS_HI, jnp.float32)
+    cuts = jnp.asarray(cuts, jnp.float32)
+    betas = jnp.asarray(betas, jnp.float32)
+    parks = jnp.asarray(parks if parks is not None else 10.0 * cuts,
+                        jnp.float32)
+    bounds = jnp.maximum(jnp.asarray(bounds, jnp.float32), parks * 1.05)
+    X = X0.astype(jnp.float32)
+    theta = Xr = res = None
+    prev = np.inf
+    for ip in range(max_passes):
+        theta, Xr, res = cheb_rr_pass_sweep(
+            qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
+            jnp.float32(alpha), X, cuts, bounds, degree=degree,
+            binv_degree=binv_degree)
+        X = Xr
+        if ip + 1 >= passes:
+            th = np.asarray(theta)
+            rs = np.asarray(res)
+            wanted = th < np.asarray(cuts)[:, None]
+            if n_wanted > 0:
+                wanted &= (np.arange(th.shape[1])[None] < n_wanted)
+            maxres = rs[wanted].max() if wanted.any() else rs.min()
+            if maxres < eff_tol or maxres > 0.7 * prev:
+                break
+            prev = maxres
+    return theta, Xr, res
+
+
+def solve_lowest_qf(qf, gs, mask, diag_B, X0, cut, beta, alpha, bound,
+                    degree: int = 300, passes: int = 2, tol: float = 1e-7,
+                    max_passes: int = 8, park: float = 1.0,
+                    binv_degree: int = 4, n_wanted: int = 0):
+    """Adaptive driver for the quadrature-factor vectorial path."""
+    eff_tol = max(tol, 5e-6)
+    dinv_sqrt = (1.0 / jnp.sqrt(jnp.maximum(diag_B, 1e-30))
+                 ).astype(jnp.float32)
+    lo = jnp.asarray(MASS_LO, jnp.float32)
+    hi = jnp.asarray(MASS_HI, jnp.float32)
+    bound = jnp.maximum(jnp.asarray(bound, jnp.float32),
+                        jnp.float32(park * 1.05))
+    X = X0.astype(jnp.float32)
+    theta = Xr = res = None
+    prev = np.inf
+    for ip in range(max_passes):
+        theta, Xr, res = cheb_rr_pass_qf(
+            qf, gs, mask, dinv_sqrt, lo, hi, jnp.float32(park),
+            jnp.float32(beta), jnp.float32(alpha), X, jnp.float32(cut),
+            bound, degree=degree, binv_degree=binv_degree)
+        X = Xr
+        if ip + 1 >= passes:
+            th = np.asarray(theta)
+            rs = np.asarray(res)
+            wanted = th < cut
+            if n_wanted > 0:
+                wanted = wanted & (np.arange(len(th)) < n_wanted)
+            maxres = rs[wanted].max() if wanted.any() else rs.min()
+            if maxres < eff_tol or maxres > 0.7 * prev:
+                break
+            prev = maxres
+    return theta, Xr, res
+
+
+# ---------------------------------------------------------------------------
 # spectrum bounds (deterministic, per-element Rayleigh quotients)
 # ---------------------------------------------------------------------------
 #

@@ -40,6 +40,7 @@ import numpy as np
 
 from ..config import SimulationConfig
 from ..ops.assembly import (
+    assemble_vector3_qf,
     assemble_vector3_system,
     eps_arrays,
     gather_scatter,
@@ -51,12 +52,13 @@ from ..ops.femgrid import DeviceGrid, FEMGrid, MeshGenerator, export_device_grid
 from ..ops.host_assembly import (
     HostVector3,
     build_host_vector3,
+    build_host_vector3_family,
     eps_at_quadrature_np,
     quadratic_subspace,
     scalar_pattern,
     vector3_prims_np,
 )
-from ..ops.kernels import solve_lowest_kernel
+from ..ops.kernels import QFactorSweep, solve_lowest_qf, solve_lowest_sweep
 from .postproc import polarization_from_powers, polarization_label
 
 logger = logging.getLogger("pl_fem_tpu.solvers.vectorial")
@@ -171,12 +173,23 @@ class TrueVectorialMaxwellSolver:
 
         ga = grid_to_device(dg, dtype=jnp.float32)
         ea = eps_arrays(g.eps_params(), dtype=jnp.float32)
-        prim, diag_M, _ = assemble_vector3_system(ga, ea)
-        Mb = prim["u_nn"]
+        qf, diag_M = assemble_vector3_qf(ga, ea)
 
         n_eff_est = lp01_neff_estimate(k0t, float(np.mean(g.core_radii)),
                                        g.n_core, g.n_clad)
         beta0 = k0t * n_eff_est
+
+        # one-time spectrum bound from materialized blocks (freed after);
+        # 1.3x margin covers the beta drift across refinement passes
+        prim, _, _ = assemble_vector3_system(ga, ea)
+        big0 = vector3_stacked_A(prim, jnp.float32(beta0),
+                                 jnp.float32(scfg.alpha_penalty))
+        from ..ops.kernels import pencil_bounds_elem
+
+        _, _, bound = pencil_bounds_elem(big0, prim["u_nn"],
+                                         ga.elem_valid, C=3)
+        bound = float(bound) * 1.3
+        del big0, prim
         beta_lo = k0t * g.n_clad * (1.0 + 1e-9)
         beta_hi = k0t * g.n_core * 1.01
         mask3 = np.tile(dg.interior_mask[:n], 3).astype(np.float64)
@@ -191,13 +204,11 @@ class TrueVectorialMaxwellSolver:
         for ip in range(max(1, scfg.beta_passes)):
             cut = min(beta0**2 / eps_clad, 1.35 * k0t**2)
             park = 10.0 * max(cut, 1.0)
-            big = vector3_stacked_A(prim, jnp.float32(beta0),
-                                    jnp.float32(scfg.alpha_penalty))
-            theta, Xr, res = solve_lowest_kernel(
-                big, Mb, gather_scatter(ga), ga.interior_mask, diag_M, X,
-                cut, ga.elem_valid, C=3, degree=scfg.cheb_degree,
-                passes=scfg.cheb_passes, tol=scfg.scalar_tol, park=park,
-                n_wanted=k)
+            theta, Xr, res = solve_lowest_qf(
+                qf, gather_scatter(ga), ga.interior_mask, diag_M, X, cut,
+                beta0, scfg.alpha_penalty, bound,
+                degree=scfg.cheb_degree, passes=scfg.cheb_passes,
+                tol=scfg.scalar_tol, park=park, n_wanted=k)
 
             # pool host-side f64 subspace across beta passes
             Xh = np.asarray(Xr, dtype=np.float64)
@@ -222,6 +233,117 @@ class TrueVectorialMaxwellSolver:
             return np.zeros(0), z, z, z
         hx, hy, hz = H[:n], H[n:2 * n], H[2 * n:]
         return betas, hx, hy, hz
+
+    # -- same-grid sweep (no reference analog: BASELINE config 2) -------
+    @classmethod
+    def solve_sweep(cls, geometries, grid, n_modes_target: int = 20,
+                    config: Optional[SimulationConfig] = None):
+        """Solve B same-grid designs in one packed device sweep.
+
+        All geometries must share core positions/radii (one mesh); they
+        may differ in wavelength, n_core, n_clad — the multi-band /
+        multi-contrast dataset workload. The Chebyshev filter runs once
+        with all designs packed along the lane axis (ops/kernels.py
+        ``cheb_rr_pass_sweep``); the host f64 polish instantiates each
+        design's CSR data from a shared linear-coefficient family in a
+        few axpys. Returns a list of mode lists, one per geometry.
+        """
+        cfg = config or SimulationConfig()
+        scfg = cfg.solver
+        dg = _as_device_grid(grid, cfg)
+        g0 = geometries[0]
+        B = len(geometries)
+        n = dg.n_dofs
+        Dp = dg.n_dofs_padded
+
+        # Working-set guard: very large (elements x packed-lanes) sweeps
+        # have crashed this TPU toolchain; split into sub-sweeps instead.
+        k_est = min(n_modes_target + scfg.extra_vectors, n)
+        E_pad = dg.elem_dofs.shape[0]
+        budget = 1_500_000            # max E_pad * B * k working-set units
+        b_max = max(1, budget // (E_pad * k_est))
+        if B > b_max:
+            out = []
+            for s in range(0, B, b_max):
+                out.extend(cls.solve_sweep(geometries[s:s + b_max], dg,
+                                           n_modes_target, cfg))
+            return out
+
+        ga = grid_to_device(dg, dtype=jnp.float32)
+        gs = gather_scatter(ga)
+        invs, diag = [], None
+        for g in geometries:
+            qf_g, diag = assemble_vector3_qf(
+                ga, eps_arrays(g.eps_params(), dtype=jnp.float32))
+            invs.append(qf_g.inv_eps)
+        qs = QFactorSweep(invJT=qf_g.invJT, w=qf_g.w,
+                          inv_eps=jnp.stack(invs))
+
+        betas = np.array([
+            g.k0 * lp01_neff_estimate(g.k0, float(np.mean(g.core_radii)),
+                                      g.n_core, g.n_clad)
+            for g in geometries])
+        cuts = np.array([min(b**2 / g.n_clad**2, 1.35 * g.k0**2)
+                         for b, g in zip(betas, geometries)])
+        parks = 10.0 * np.maximum(cuts, 1.0)
+
+        # one-time bound from design 0's blocks; margin covers the sweep
+        prim, _, _ = assemble_vector3_system(
+            ga, eps_arrays(g0.eps_params(), dtype=jnp.float32))
+        big0 = vector3_stacked_A(prim, jnp.float32(betas[0]),
+                                 jnp.float32(scfg.alpha_penalty))
+        from ..ops.kernels import pencil_bounds_elem
+
+        _, _, bound = pencil_bounds_elem(big0, prim["u_nn"],
+                                         ga.elem_valid, C=3)
+        bounds = np.full(B, float(bound) * 1.5)
+        del big0, prim
+
+        family = build_host_vector3_family(dg, g0.eps_params(),
+                                           scfg.alpha_penalty)
+        mask3 = np.tile(dg.interior_mask[:n], 3).astype(np.float64)
+        k = min(n_modes_target + scfg.extra_vectors, n)
+        X = jax.random.normal(jax.random.PRNGKey(11), (3 * Dp, B, k),
+                              dtype=jnp.float32)
+        pooled = [None] * B
+
+        results = [[] for _ in range(B)]
+        for ip in range(max(1, scfg.beta_passes)):
+            theta, Xr, res = solve_lowest_sweep(
+                qs, gs, ga.interior_mask, diag, X, cuts, betas,
+                scfg.alpha_penalty, bounds, degree=scfg.cheb_degree,
+                passes=scfg.cheb_passes, tol=scfg.scalar_tol,
+                parks=parks, n_wanted=k)
+            Xh_all = np.asarray(Xr, dtype=np.float64)
+            beta_new = betas.copy()
+            for bix, g in enumerate(geometries):
+                Xh = Xh_all[:, bix, :]
+                Xh = np.concatenate(
+                    [Xh[c * Dp:c * Dp + n] for c in range(3)],
+                    axis=0) * mask3[:, None]
+                pooled[bix] = Xh if pooled[bix] is None else \
+                    np.concatenate([pooled[bix], Xh], axis=1)
+                hv = family.instantiate(g.n_core**2, g.n_clad**2)
+                bts, H, _, _ = quadratic_subspace(
+                    hv, pooled[bix], g.k0,
+                    g.k0 * g.n_clad * (1 + 1e-9), g.k0 * g.n_core * 1.01,
+                    mask=mask3)
+                if len(bts):
+                    beta_new[bix] = float(np.median(bts))
+                    hx, hy, hz = H[:n], H[n:2 * n], H[2 * n:]
+                    solver = cls(g, config=cfg)
+                    results[bix] = solver._postprocess(
+                        hv, dg, bts, hx, hy, hz, n_modes_target)
+            if ip + 1 < scfg.beta_passes and \
+                    np.abs(beta_new - betas).max() > 1e-6:
+                betas = beta_new
+                cuts = np.array([min(b**2 / g.n_clad**2, 1.35 * g.k0**2)
+                                 for b, g in zip(betas, geometries)])
+                parks = 10.0 * np.maximum(cuts, 1.0)
+                X = Xr
+            else:
+                break
+        return results
 
     # -- shared post-processing (solver_fem.py:199-239), host f64 -------
     def _postprocess(self, hv: HostVector3, dg: DeviceGrid, betas,

@@ -1,0 +1,117 @@
+"""Quadrature-factor matrix-free applies vs materialized element blocks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pl_fem_tpu.config import MeshConfig, SimulationConfig
+from pl_fem_tpu.models import MCFGeometry
+from pl_fem_tpu.ops import kernels
+from pl_fem_tpu.ops.assembly import (
+    assemble_vector3_qf,
+    assemble_vector3_system,
+    eps_arrays,
+    gather_scatter,
+    grid_to_device,
+    vector3_stacked_A,
+)
+from pl_fem_tpu.ops.femgrid import MeshGenerator, export_device_grid
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = SimulationConfig(mesh_min_points=200, mesh_target_points=900,
+                           mesh=MeshConfig(bucket_rounding=128))
+    geom = MCFGeometry(3, 8.0, 1.3, 1.53, 1.0, wavelength_um=1.55)
+    MeshGenerator.clear_cache()
+    grid = MeshGenerator.generate(geom, 0.35, cfg)
+    dg = export_device_grid(grid, 128)
+    ga = grid_to_device(dg, dtype=jnp.float32)
+    ea = eps_arrays(geom.eps_params(), dtype=jnp.float32)
+    return geom, dg, ga, ea
+
+
+def test_qf_apply_matches_blocks(setup):
+    """A(beta) X identical between qf and materialized-blocks applies."""
+    geom, dg, ga, ea = setup
+    beta = jnp.float32(5.9)
+    alpha = jnp.float32(1.0)
+    prim, diag_blocks, _ = assemble_vector3_system(ga, ea)
+    big = vector3_stacked_A(prim, beta, alpha)
+    qf, diag_qf = assemble_vector3_qf(ga, ea)
+    gs = gather_scatter(ga)
+    mask = ga.interior_mask
+
+    Dp = dg.n_dofs_padded
+    X = jax.random.normal(jax.random.PRNGKey(0), (3 * Dp, 5),
+                          dtype=jnp.float32)
+    park = jnp.float32(100.0)
+    Y_blocks = kernels._apply_stacked(big, gs, mask, park, X, 3)
+    Y_qf = kernels._apply_vector3_qf(qf, gs, mask, park, beta, alpha, X)
+    scale = float(jnp.abs(Y_blocks).max())
+    np.testing.assert_allclose(np.asarray(Y_qf), np.asarray(Y_blocks),
+                               atol=3e-5 * scale)
+
+    # mass applies and diagonals agree too
+    Yb = kernels._apply_mass(prim["u_nn"], gs, mask, X, 3)
+    Yq = kernels._apply_mass_qf(qf, gs, mask, X, 3)
+    np.testing.assert_allclose(np.asarray(Yq), np.asarray(Yb),
+                               atol=1e-5 * float(jnp.abs(Yb).max()))
+    np.testing.assert_allclose(np.asarray(diag_qf), np.asarray(diag_blocks),
+                               rtol=2e-5)
+
+
+def test_sweep_matches_single_design(setup):
+    """Packed same-grid sweep reproduces per-design solves."""
+    from pl_fem_tpu.config import SolverConfig
+    from pl_fem_tpu.solvers import TrueVectorialMaxwellSolver
+
+    geom, dg, ga, ea = setup
+    cfg = SimulationConfig(solver=SolverConfig(
+        backend="tpu", cheb_degree=120, cheb_passes=3, beta_passes=1))
+    geoms = [
+        MCFGeometry(3, 8.0, 1.3, 1.53, 1.0, wavelength_um=1.55),
+        MCFGeometry(3, 8.0, 1.3, 1.55, 1.0, wavelength_um=1.60),
+    ]
+    sweep = TrueVectorialMaxwellSolver.solve_sweep(geoms, dg, 6, cfg)
+    assert len(sweep) == 2
+    for bix, g in enumerate(geoms):
+        single = TrueVectorialMaxwellSolver(g, config=cfg) \
+            .solve_vectorial_modes(dg, 6)
+        assert len(sweep[bix]) >= 4
+        ns = [m["n_eff"] for m in sweep[bix]][:4]
+        n1 = [m["n_eff"] for m in single][:4]
+        np.testing.assert_allclose(ns, n1, atol=5e-4)
+
+
+def test_qf_solver_end_to_end(setup):
+    """solve_lowest_qf finds the same lowest spectrum as the blocks path."""
+    geom, dg, ga, ea = setup
+    from pl_fem_tpu.solvers.vectorial import lp01_neff_estimate
+
+    k0 = float(geom.k0)
+    beta0 = k0 * lp01_neff_estimate(k0, 1.3, geom.n_core, geom.n_clad)
+    prim, diag, _ = assemble_vector3_system(ga, ea)
+    big = vector3_stacked_A(prim, jnp.float32(beta0), jnp.float32(1.0))
+    _, _, bound = kernels.pencil_bounds_elem(big, prim["u_nn"],
+                                             ga.elem_valid, C=3)
+    cut = min(beta0**2 / geom.n_clad**2, 1.35 * k0**2)
+    park = 10.0 * cut
+    gs = gather_scatter(ga)
+    Dp = dg.n_dofs_padded
+    X0 = jax.random.normal(jax.random.PRNGKey(3), (3 * Dp, 8),
+                           dtype=jnp.float32)
+
+    th_q, _, _ = kernels.solve_lowest_qf(
+        qf=assemble_vector3_qf(ga, ea)[0], gs=gs, mask=ga.interior_mask,
+        diag_B=diag, X0=X0, cut=cut, beta=beta0, alpha=1.0,
+        bound=float(bound) * 1.3, degree=100, passes=4, park=park,
+        n_wanted=4)
+    th_b, _, _ = kernels.solve_lowest_kernel(
+        big, prim["u_nn"], gs, ga.interior_mask, diag, X0, cut,
+        ga.elem_valid, C=3, degree=100, passes=4, park=park, n_wanted=4)
+    # both paths converge the leading (well-separated) group; trailing
+    # Ritz directions are iteration-path dependent until full convergence
+    tq = np.asarray(th_q)[:3]
+    tb = np.asarray(th_b)[:3]
+    np.testing.assert_allclose(tq, tb, rtol=3e-3)
