@@ -145,6 +145,14 @@ def _grid_key(dg: DeviceGrid, C: int) -> tuple:
 
 
 def build_pattern(rows: np.ndarray, cols: np.ndarray, n: int) -> SharedCSR:
+    from ..native import build_pattern_native
+
+    native = build_pattern_native(rows, cols, n)
+    if native is not None:
+        perm, indices, indptr = native
+        return SharedCSR(indptr=indptr, indices=indices, perm=perm,
+                         shape=(n, n))
+
     order = np.lexsort((cols, rows))
     r_s, c_s = rows[order], cols[order]
     new = np.ones(len(r_s), dtype=bool)
