@@ -17,7 +17,7 @@ parametric dataset generation, built TPU-first:
   propagation, and shard_map dataset generation over the device mesh.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .constants import PHYS, PhysConst
 from .config import (
@@ -42,4 +42,37 @@ __all__ = [
     "IPDipCauchy", "Silica", "Air",
     "MCFGeometry", "MMFGeometry", "PhotonicLantern",
     "PhotonicLanternGeometry", "TaperSection",
+    # lazy heavy subsystems (see __getattr__)
+    "ScalarHelmholtzSolver", "TrueVectorialMaxwellSolver",
+    "LossCalculator", "EnhancedLossCalculator", "VectorialLossCalculator",
+    "CoupledModeTheory", "MeshGenerator",
+    "DatasetGenerator", "DatasetRecord", "SmartSampler", "AdaptiveSampler",
+    "ParametricSpace",
 ]
+
+_LAZY = {
+    "ScalarHelmholtzSolver": "solvers",
+    "TrueVectorialMaxwellSolver": "solvers",
+    "LossCalculator": "physics",
+    "EnhancedLossCalculator": "physics",
+    "VectorialLossCalculator": "physics",
+    "CoupledModeTheory": "physics.cmt",
+    "MeshGenerator": "ops.femgrid",
+    "DatasetGenerator": "dataset",
+    "DatasetRecord": "dataset",
+    "SmartSampler": "dataset",
+    "AdaptiveSampler": "dataset",
+    "ParametricSpace": "dataset",
+}
+
+
+def __getattr__(name):
+    """Lazy top-level exports: importing pl_fem_tpu stays light; heavy
+    subsystems (jax-jitted solver/physics/dataset stacks) load on first
+    attribute access."""
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module("." + _LAZY[name], __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

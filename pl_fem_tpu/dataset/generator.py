@@ -115,6 +115,9 @@ class DatasetGenerator:
             taper_length_mm=float(sample.get("taper_length_mm", 0.375)),
             taper_profile=str(sample.get("taper_profile", "exponential")),
         )
+        from ..utils import PhaseTimer
+
+        timer = PhaseTimer()
         t0 = time.time()
         wl_nm = rec.wavelength_nm
         try:
@@ -151,8 +154,9 @@ class DatasetGenerator:
             rec.M_max = pmetrics.get("n_modes_est")
 
             # 3. mesh + solve
-            grid = MeshGenerator.generate(geom, self.config.mesh.refinement,
-                                          self.config)
+            with timer.phase("mesh"):
+                grid = MeshGenerator.generate(
+                    geom, self.config.mesh.refinement, self.config)
             rec.mesh_points = grid.n_points
             rec.mesh_elements = grid.n_elems
             rec.n_dofs = grid.n_dofs
@@ -160,12 +164,14 @@ class DatasetGenerator:
 
             n_target = self.config.n_modes_target or \
                 math.ceil(2.8 * geom.n_cores)
-            if self.use_vectorial:
-                solver = TrueVectorialMaxwellSolver(geom, config=self.config)
-                modes = solver.solve_vectorial_modes(dg, n_target)
-            else:
-                modes = ScalarHelmholtzSolver(geom, self.config).solve(
-                    dg, n_target)
+            with timer.phase("solve"):
+                if self.use_vectorial:
+                    solver = TrueVectorialMaxwellSolver(geom,
+                                                        config=self.config)
+                    modes = solver.solve_vectorial_modes(dg, n_target)
+                else:
+                    modes = ScalarHelmholtzSolver(geom, self.config).solve(
+                        dg, n_target)
             rec.success_solver = len(modes) > 0
             if not modes:
                 rec.error_msg = "solver: no guided modes"
@@ -182,10 +188,11 @@ class DatasetGenerator:
             rec.avg_confinement = float(np.mean(confs))
 
             # 4. losses mux + demux
-            mux = LossCalculator.calculate_physical_losses(
-                modes, geom, "mux", wl_nm)
-            demux = LossCalculator.calculate_physical_losses(
-                modes, geom, "demux", wl_nm)
+            with timer.phase("losses"):
+                mux = LossCalculator.calculate_physical_losses(
+                    modes, geom, "mux", wl_nm)
+                demux = LossCalculator.calculate_physical_losses(
+                    modes, geom, "demux", wl_nm)
             rec.success_losses = bool(mux.get("success")
                                       and demux.get("success"))
             if mux.get("success"):
@@ -205,7 +212,8 @@ class DatasetGenerator:
 
             # 5. CMT over taper slices (optional, the expensive product)
             if self.n_taper_slices >= 2 and geom.taper_length:
-                self._run_cmt(rec, geom, modes, wl_nm)
+                with timer.phase("cmt"):
+                    self._run_cmt(rec, geom, modes, wl_nm)
 
             # 6. quality + performance
             rec.quality_score = self.scorer.score_sample(sample, pmetrics)
@@ -220,6 +228,8 @@ class DatasetGenerator:
             return rec
         finally:
             rec.solver_time_s = time.time() - t0
+            if timer.times:
+                logger.debug("%s phases: %s", rec.sample_id, timer.summary())
 
     # ------------------------------------------------------------------
     def _run_cmt(self, rec: DatasetRecord, geom: MCFGeometry,
