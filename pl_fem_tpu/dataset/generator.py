@@ -170,8 +170,10 @@ class DatasetGenerator:
                                                         config=self.config)
                     modes = solver.solve_vectorial_modes(dg, n_target)
                 else:
+                    # scalar CLI path uses the reference's guided-mode
+                    # cascade (main.py:258-288)
                     modes = ScalarHelmholtzSolver(geom, self.config).solve(
-                        dg, n_target)
+                        dg, n_target, mode_filter="cascade")
             rec.success_solver = len(modes) > 0
             if not modes:
                 rec.error_msg = "solver: no guided modes"

@@ -85,7 +85,17 @@ class ScalarHelmholtzSolver:
         self.config = config or SimulationConfig()
 
     # -- public API ----------------------------------------------------------
-    def solve(self, grid=None, n_modes_target: int = 20) -> List[Dict]:
+    def solve(self, grid=None, n_modes_target: int = 20,
+              mode_filter: str = "none") -> List[Dict]:
+        """Solve for guided modes.
+
+        ``mode_filter='cascade'`` applies the reference CLI's guided-mode
+        selection (main.py:209-288): quadrature-exact loose/strict core
+        masses give confinement and core_overlap, then the threshold
+        cascade 0.85 -> 0.70 -> 0.50 -> 0.30 -> unfiltered with
+        OVERLAP_MIN 0.80 and a top-3N cap. Default 'none' matches the
+        library-path ScalarHelmholtzSolver (solver_fem.py:245-276).
+        """
         cfg = self.config
         if grid is None:
             grid = MeshGenerator.generate(self.geometry,
@@ -99,7 +109,66 @@ class ScalarHelmholtzSolver:
             lam, V = self._solve_hybrid(host, dg, n_modes_target)
         else:
             lam, V = self._solve_tpu(host, dg, n_modes_target)
-        return self._modes_from_eigenpairs(host, dg, lam, V, n_modes_target)
+        modes = self._modes_from_eigenpairs(host, dg, lam, V, n_modes_target)
+        if mode_filter == "cascade":
+            modes = self._cascade_filter(modes, dg, host)
+        return modes
+
+    # -- guided-mode cascade (main.py:205-288) -------------------------------
+    def _cascade_filter(self, modes: List[Dict], dg: DeviceGrid,
+                        host: HostScalarPencil) -> List[Dict]:
+        from ..ops.host_assembly import _wsum_np, scalar_pattern, _flat
+
+        if not modes:
+            return modes
+        g = self.geometry
+        x = dg.qp_xy[..., 0]
+        y = dg.qp_xy[..., 1]
+        pos = np.asarray(g.positions)
+        rad = np.asarray(g.core_radii)
+        Nq = np.broadcast_to(dg.shape_vals[None], dg.qp_w.shape + (6,))
+        spat = scalar_pattern(dg)
+
+        def core_mass(factor):
+            d2 = ((x[..., None] - pos[:, 0]) ** 2
+                  + (y[..., None] - pos[:, 1]) ** 2)
+            w = np.any(d2 <= (factor * rad) ** 2, axis=-1).astype(float)
+            return spat.with_blocks(
+                _flat(_wsum_np(dg.qp_w, w, Nq, Nq), dg.n_elems))
+
+        Ml = core_mass(1.10)     # loose -> confinement (main.py:209-214)
+        Ms = core_mass(1.00)     # strict -> core_overlap (main.py:217-222)
+        for m in modes:
+            v = m["field_vector"]
+            denom = float(v @ (host.B @ v)) + 1e-20
+            m["confinement"] = float(np.clip(v @ (Ml @ v) / denom, 0.0, 1.0))
+            m["core_overlap"] = float(np.clip(v @ (Ms @ v) / denom, 0.0, 1.0))
+
+        # threshold cascade (main.py:258-288)
+        N = g.n_cores
+        OVERLAP_MIN = 0.80
+
+        def ok(m, thr):
+            return (m["confinement"] >= thr
+                    and m["core_overlap"] >= OVERLAP_MIN)
+
+        kept = [m for m in modes if ok(m, 0.85)]
+        if len(kept) < N:
+            for thr in (0.70, 0.50, 0.30):
+                alt = [m for m in modes if ok(m, thr)]
+                if len(alt) >= N:
+                    kept = alt
+                    logger.warning("confinement threshold relaxed to %.2f "
+                                   "(%d modes)", thr, len(alt))
+                    break
+            else:
+                kept = sorted(modes, key=lambda m: m["confinement"],
+                              reverse=True)
+                logger.warning("overlap filter disabled (last resort)")
+        kept.sort(key=lambda m: m["confinement"], reverse=True)
+        kept = kept[: 3 * N]
+        kept.sort(key=lambda m: m["n_eff"], reverse=True)
+        return kept
 
     # -- backends ------------------------------------------------------------
     def _solve_tpu(self, host: HostScalarPencil, dg: DeviceGrid,

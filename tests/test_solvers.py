@@ -131,6 +131,40 @@ def test_vectorial_hybrid_backend_runs(fiber):
         assert geom.n_clad < m["n_eff"] < geom.n_core * 1.01
 
 
+def test_scalar_cascade_filter(fiber):
+    """Reference CLI guided-mode cascade (main.py:205-288 semantics)."""
+    geom, dg = fiber
+    cfg = SimulationConfig(solver=SolverConfig(backend="hybrid"))
+    solver = ScalarHelmholtzSolver(geom, cfg)
+    plain = solver.solve(dg, n_modes_target=8)
+    cascade = solver.solve(dg, n_modes_target=8, mode_filter="cascade")
+    assert 0 < len(cascade) <= 3 * geom.n_cores
+    assert len(cascade) <= len(plain)
+    for m in cascade:
+        # quadrature-exact metrics attached, loose >= strict by inclusion
+        assert m["confinement"] >= m["core_overlap"] - 1e-9
+        assert 0.0 <= m["core_overlap"] <= 1.0
+    # single-core fiber: the fundamental survives with high confinement
+    assert cascade[0]["confinement"] > 0.8
+
+
+def test_mesh_cache_save_load(tmp_path):
+    """Pickle save/load of the mesh cache (mesh.py:386-416 seam)."""
+    MeshGenerator.clear_cache()
+    geom = MCFGeometry(2, 9.0, 1.2, 1.53, 1.0)
+    cfg = SimulationConfig(mesh_min_points=300, mesh_target_points=1200)
+    MeshGenerator.generate(geom, 0.3, cfg)
+    path = tmp_path / "mesh_cache.pkl"
+    MeshGenerator.save_cache(path)
+    MeshGenerator.clear_cache()
+    assert MeshGenerator.get_cache_stats()["size"] == 0
+    MeshGenerator.load_cache(path)
+    assert MeshGenerator.get_cache_stats()["size"] == 1
+    g2 = MeshGenerator.generate(geom, 0.3, cfg)
+    assert MeshGenerator.get_cache_stats()["hits"] >= 1
+    assert g2.n_dofs > 0
+
+
 def test_polarization_classifier():
     pdl, idx = polarization_from_powers(
         np.array([100.0, 3.0, 1.0, 0.2, 0.01]), np.ones(5))
