@@ -29,8 +29,10 @@ class GridArrays(NamedTuple):
 
     elem_dofs: jax.Array    # (E, 6) int32
     elem_valid: jax.Array   # (E,) bool
-    dof_gather: jax.Array   # (D, VG) int32 transpose-gather table
-    dof_gather_valid: jax.Array  # (D, VG) bool
+    dof_gather_v: jax.Array  # (split, Wv) int32 transpose-gather table
+    dof_gather_valid_v: jax.Array  # (split, Wv) bool
+    dof_gather_e: jax.Array  # (D - split, 2) int32 (edge-midpoint DOFs)
+    dof_gather_valid_e: jax.Array  # (D - split, 2) bool
     inv_jt: jax.Array       # (E, 2, 2) J^{-T}
     qp_xy: jax.Array        # (E, Q, 2)
     qp_w: jax.Array         # (E, Q)
@@ -45,8 +47,10 @@ def grid_to_device(dg: DeviceGrid, dtype=jnp.float64) -> GridArrays:
     return GridArrays(
         elem_dofs=jnp.asarray(dg.elem_dofs, dtype=jnp.int32),
         elem_valid=jnp.asarray(dg.elem_valid, dtype=bool),
-        dof_gather=jnp.asarray(dg.dof_gather, dtype=jnp.int32),
-        dof_gather_valid=jnp.asarray(dg.dof_gather_valid, dtype=bool),
+        dof_gather_v=jnp.asarray(dg.dof_gather_v, dtype=jnp.int32),
+        dof_gather_valid_v=jnp.asarray(dg.dof_gather_valid_v, dtype=bool),
+        dof_gather_e=jnp.asarray(dg.dof_gather_e, dtype=jnp.int32),
+        dof_gather_valid_e=jnp.asarray(dg.dof_gather_valid_e, dtype=bool),
         inv_jt=jnp.asarray(dg.inv_jt, dtype=dtype),
         qp_xy=jnp.asarray(dg.qp_xy, dtype=dtype),
         qp_w=jnp.asarray(dg.qp_w, dtype=dtype),
@@ -79,8 +83,10 @@ def gather_scatter(ga: GridArrays):
     """GatherScatter topology bundle for the matrix-free kernels."""
     from .kernels import GatherScatter
 
-    return GatherScatter(elem_dofs=ga.elem_dofs, idx=ga.dof_gather,
-                         valid=ga.dof_gather_valid)
+    return GatherScatter(elem_dofs=ga.elem_dofs, idx_v=ga.dof_gather_v,
+                         valid_v=ga.dof_gather_valid_v,
+                         idx_e=ga.dof_gather_e,
+                         valid_e=ga.dof_gather_valid_e)
 
 
 def eps_arrays(p: EpsParams, dtype=jnp.float64) -> EpsArrays:
@@ -343,12 +349,10 @@ def assemble_vector3_qf(ga: GridArrays, ea: EpsArrays):
     qf = QFactor(invJT=ga.inv_jt.astype(jnp.float32),
                  w=ga.qp_w.astype(jnp.float32),
                  inv_eps=(1.0 / eps_re).astype(jnp.float32))
+    from .kernels import _accumulate
+
     diag_e = jnp.einsum("eq,qi->ei", qf.w, _N_REF**2)
-    flat = diag_e.reshape(-1)
-    e = ga.dof_gather // 6
-    l = ga.dof_gather - 6 * e
-    gathered = flat[e * 6 + l]
-    diag = jnp.where(ga.dof_gather_valid, gathered, 0.0).sum(axis=1)
+    diag = _accumulate(diag_e[:, :, None], gather_scatter(ga), 1)[:, 0]
     diag = jnp.where(ga.interior_mask > 0, diag, 1.0)
     return qf, diag
 

@@ -340,12 +340,14 @@ class DeviceGrid:
     dof_coords: np.ndarray     # (D, 2)
     dof_valid: np.ndarray      # (D,) bool
     interior_mask: np.ndarray  # (D,) bool (False on boundary + pads)
-    dof_gather: np.ndarray     # (D, VG) int32 into flat (E*6) entries
-    dof_gather_valid: np.ndarray  # (D, VG) bool
+    dof_gather_v: np.ndarray   # (split, Wv) int32 into flat (E*6) entries
+    dof_gather_valid_v: np.ndarray  # (split, Wv) bool
+    dof_gather_e: np.ndarray   # (D - split, 2) int32 (edge-midpoint DOFs)
+    dof_gather_valid_e: np.ndarray  # (D - split, 2) bool
     inv_jt: np.ndarray         # (E, 2, 2) J^{-T} per element
     n_elems: int               # actual element count
     n_dofs: int                # actual DOF count
-    bucket: Tuple[int, int]
+    bucket: Tuple[int, ...]
 
     @property
     def n_dofs_padded(self) -> int:
@@ -356,35 +358,53 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-VALENCE_BUCKET = 16  # fixed gather width: keeps shapes bucket-stable
-
-
 def _dof_gather_table(elem_dofs: np.ndarray, n_elems: int, D: int,
-                      width: int = VALENCE_BUCKET):
-    """Transpose of the element->DOF scatter as a bounded gather table.
+                      n_vertices: int, split_round: int = 1024):
+    """Transpose of the element->DOF scatter as bounded gather tables.
 
     For each DOF d, the (element, local) entries that accumulate into it
     as flat indices e*6+l into the per-element result array. TPU scatter
-    (segment_sum) serializes; a fixed-width gather + sum vectorizes, so
+    (segment_sum) serializes; fixed-width gathers + sums vectorize, so
     the operator apply becomes gather -> batched GEMM -> gather-sum with
     no scatter anywhere.
+
+    The table is SPLIT by DOF class: P2 edge midpoints (75% of DOFs)
+    have valence exactly <= 2 while vertices go up to mesh valence, so
+    one wide table would waste ~4x the gathered rows. Rows [0, split)
+    use the wide table, rows [split, D) the width-2 table, with the
+    split at the (rounded-up) vertex count — DOF numbering already puts
+    vertices first (build_p2_grid).
+
+    Returns (idx_v (split, Wv), valid_v, idx_e (D - split, 2), valid_e,
+    split).
     """
     flat = elem_dofs[:n_elems].astype(np.int64).ravel()     # entry i -> dof
     order = np.argsort(flat, kind="stable")
     sorted_dofs = flat[order]
     counts = np.bincount(sorted_dofs, minlength=D)
-    vmax = int(counts.max()) if len(counts) else 0
-    if vmax > width:
-        raise ValueError(f"DOF valence {vmax} exceeds gather width {width}; "
-                         "mesh has pathological connectivity")
+    split = min(_round_up(max(n_vertices, 1), split_round), D)
+
+    vmax_v = int(counts[:split].max()) if split else 0
+    width_v = max(int(_round_up(max(vmax_v, 1), 4)), 4)
+    vmax_e = int(counts[split:].max()) if split < D else 0
+    if vmax_e > 2:
+        raise ValueError(f"edge-DOF valence {vmax_e} > 2; DOF numbering "
+                         "does not put vertices first")
+
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    idx = np.zeros((D, width), dtype=np.int32)
-    valid = np.zeros((D, width), dtype=bool)
-    # position of each sorted entry within its dof's run
     pos = np.arange(len(flat)) - np.repeat(starts, counts)
-    idx[sorted_dofs, pos] = order.astype(np.int32)
-    valid[sorted_dofs, pos] = True
-    return idx, valid
+
+    idx_v = np.zeros((split, width_v), dtype=np.int32)
+    valid_v = np.zeros((split, width_v), dtype=bool)
+    idx_e = np.zeros((D - split, 2), dtype=np.int32)
+    valid_e = np.zeros((D - split, 2), dtype=bool)
+    is_v = sorted_dofs < split
+    idx_v[sorted_dofs[is_v], pos[is_v]] = order[is_v].astype(np.int32)
+    valid_v[sorted_dofs[is_v], pos[is_v]] = True
+    idx_e[sorted_dofs[~is_v] - split, pos[~is_v]] = \
+        order[~is_v].astype(np.int32)
+    valid_e[sorted_dofs[~is_v] - split, pos[~is_v]] = True
+    return idx_v, valid_v, idx_e, valid_e, split
 
 
 def export_device_grid(grid: FEMGrid, bucket_rounding: int = 4096,
@@ -428,8 +448,8 @@ def export_device_grid(grid: FEMGrid, bucket_rounding: int = 4096,
     interior = np.zeros(D, dtype=bool)
     interior[: grid.n_dofs] = grid.interior_mask
 
-    gather_idx, gather_valid = _dof_gather_table(grid.elem_dofs,
-                                                 grid.n_elems, D)
+    gv_idx, gv_valid, ge_idx, ge_valid, split = _dof_gather_table(
+        grid.elem_dofs, grid.n_elems, D, grid.n_points)
 
     return DeviceGrid(
         elem_dofs=elem_dofs,
@@ -442,12 +462,14 @@ def export_device_grid(grid: FEMGrid, bucket_rounding: int = 4096,
         dof_coords=dof_coords,
         dof_valid=dof_valid,
         interior_mask=interior,
-        dof_gather=gather_idx,
-        dof_gather_valid=gather_valid,
+        dof_gather_v=gv_idx,
+        dof_gather_valid_v=gv_valid,
+        dof_gather_e=ge_idx,
+        dof_gather_valid_e=ge_valid,
         inv_jt=pad_e(invJT),
         n_elems=grid.n_elems,
         n_dofs=grid.n_dofs,
-        bucket=(E, D),
+        bucket=(E, D, split, gv_idx.shape[1]),
     )
 
 

@@ -35,25 +35,40 @@ from typing import NamedTuple
 
 
 class GatherScatter(NamedTuple):
-    """Grid topology for the matrix-free applies."""
+    """Grid topology for the matrix-free applies.
+
+    The accumulate table is split by DOF class: the wide table covers
+    rows [0, split) (mesh vertices, valence up to ~12), the width-2
+    table rows [split, D) (P2 edge midpoints, valence exactly <= 2) —
+    ~3.5x fewer gathered rows than one max-width table.
+    """
 
     elem_dofs: jax.Array     # (E, 6) int32
-    idx: jax.Array           # (D, V) int32 flat entries e*6+l
-    valid: jax.Array         # (D, V) bool
+    idx_v: jax.Array         # (split, Wv) int32 flat entries e*6+l
+    valid_v: jax.Array       # (split, Wv) bool
+    idx_e: jax.Array         # (D - split, 2) int32
+    valid_e: jax.Array       # (D - split, 2) bool
 
 
 def _accumulate(Ye, gs: GatherScatter, C: int):
-    """(E, 6C, k) element results -> (C*D, k) DOF sums via gather."""
+    """(E, 6C, k) element results -> (C*D, k) DOF sums via gathers."""
     E, sixC, k = Ye.shape
     flat = Ye.reshape(E * sixC, k)
-    e = gs.idx // 6
-    l = gs.idx - 6 * e
-    parts = []
-    for c in range(C):
-        idxc = e * sixC + c * 6 + l                  # (D, V)
-        g = flat[idxc]                               # (D, V, k)
-        parts.append(jnp.where(gs.valid[..., None], g, 0.0).sum(axis=1))
-    return jnp.concatenate(parts, axis=0)
+
+    def gather_sum(idx, valid):
+        e = idx // 6
+        l = idx - 6 * e
+        out = []
+        for c in range(C):
+            idxc = e * sixC + c * 6 + l              # (rows, W)
+            g = flat[idxc]                           # (rows, W, k)
+            out.append(jnp.where(valid[..., None], g, 0.0).sum(axis=1))
+        return out
+
+    pv = gather_sum(gs.idx_v, gs.valid_v)
+    pe = gather_sum(gs.idx_e, gs.valid_e)
+    return jnp.concatenate(
+        [jnp.concatenate([pv[c], pe[c]], axis=0) for c in range(C)], axis=0)
 
 
 def _apply_stacked(Abig, gs: GatherScatter, mask, park, X, C: int):

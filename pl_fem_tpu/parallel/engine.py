@@ -114,8 +114,10 @@ def assemble_design_batch(geometries: Sequence, dgs: Sequence[DeviceGrid],
     f32 = jnp.float32
     gs_stacked = kernels.GatherScatter(
         elem_dofs=jnp.stack([g.elem_dofs for g in gss]),
-        idx=jnp.stack([g.idx for g in gss]),
-        valid=jnp.stack([g.valid for g in gss]))
+        idx_v=jnp.stack([g.idx_v for g in gss]),
+        valid_v=jnp.stack([g.valid_v for g in gss]),
+        idx_e=jnp.stack([g.idx_e for g in gss]),
+        valid_e=jnp.stack([g.valid_e for g in gss]))
     return DesignBatch(
         Abig=jnp.stack(Abigs), Bblk=jnp.stack(Bblks),
         gs=gs_stacked, mask=jnp.stack(masks),
