@@ -5,8 +5,8 @@ All bilinear forms of the scalar Helmholtz and vectorial H-field systems
 masks of main.py:209-226) are evaluated in ONE vmapped quadrature pass per
 family — they share the geometry factors and the permittivity at the
 quadrature points. The result is per-element 6x6 blocks which feed either
-the matrix-free block operators (ops/operators.py, the TPU path) or a
-host CSR export (oracle / hybrid path).
+the matrix-free kernels (ops/kernels.py, the TPU path) or a host CSR
+export (oracle / hybrid path, ops/host_assembly.py).
 
 Matrix convention: blocks[e, i, j] couples test function i with trial
 function j of element e; global A[I, J] = sum_e blocks[e, i, j] over the
@@ -357,11 +357,31 @@ def assemble_vector3_qf(ga: GridArrays, ea: EpsArrays):
     return qf, diag
 
 
+def stack_blocks(blocks: Dict, n_components: int) -> jax.Array:
+    """Fuse symmetric component blocks into one (E, 6C, 6C) tensor.
+
+    ``blocks`` maps (ci, cj) with ci <= cj to (E, 6, 6); missing (cj, ci)
+    is the element-wise transpose."""
+    some = next(iter(blocks.values()))
+    zero = jnp.zeros_like(some)
+    rows = []
+    for ci in range(n_components):
+        cols = []
+        for cj in range(n_components):
+            if (ci, cj) in blocks:
+                b = blocks[(ci, cj)]
+            elif (cj, ci) in blocks:
+                b = jnp.swapaxes(blocks[(cj, ci)], 1, 2)
+            else:
+                b = zero
+            cols.append(b)
+        rows.append(jnp.concatenate(cols, axis=2))
+    return jnp.concatenate(rows, axis=1)
+
+
 @jax.jit
 def vector3_stacked_A(prim, beta, alpha_p):
     """Stacked (E, 18, 18) operator A(beta) from primitives (traced beta)."""
-    from .operators import stack_blocks
-
     return stack_blocks(combine_vector3(prim, beta, alpha_p), 3)
 
 

@@ -1,292 +1,14 @@
-"""Generalized eigensolvers for FEM pencils (A, B) on TPU.
+"""Host eigensolver oracle.
 
-Replaces ARPACK shift-invert (/root/reference/solver_fem.py:197, :261 —
-Fortran Lanczos + SuperLU factorization) with factorization-free,
-matrix-free subspace methods built from three TPU-friendly pieces:
-
-1. ``mass_inverse``: B is a (1/eps-weighted) mass matrix, spectrally
-   equivalent to its diagonal with h-independent condition number, so
-   B^{-1} is applied by a fixed-degree Jacobi-Chebyshev iteration — a
-   strictly linear operator, safe inside polynomial filters.
-
-2. ``chebyshev_filter``: three-term Chebyshev recurrences over the pencil
-   operator L = B^{-1}A that amplify either the lowest end of the
-   spectrum (scalar Helmholtz: guided modes are the smallest eigenvalues)
-   or a window around shifts sigma via the spectral fold (L-sigma)^2
-   (vectorial H-field: guided modes are interior). Every step is one
-   batched-GEMM operator apply; degrees of a few hundred replace the
-   sparse LU entirely.
-
-3. ``rayleigh_ritz``: exact (A, B) Rayleigh-Ritz in float64 on the
-   filtered subspace, so eigenvalue accuracy is set by the true pencil,
-   not by the filter precision.
-
-A scipy shift-invert oracle (``scipy_eigsh_pencil``) provides the hybrid
-backend and the parity gate for tests.
+The on-device factorization-free eigensolver lives in ops/kernels.py
+(float32 Chebyshev subspace filtering + host float64 polish in
+ops/host_assembly.py). This module keeps the scipy ARPACK shift-invert
+entry point used by the 'hybrid' solver backends — numerically the
+reference's algorithm (/root/reference/solver_fem.py:197, :261) and the
+parity oracle for tests.
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Callable, NamedTuple, Optional, Tuple
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-
-# ============================================================================
-# Spectrum probes
-# ============================================================================
-
-def power_bound(apply_fn: Callable, n: int, key, iters: int = 40,
-                dtype=jnp.float32, safety: float = 1.1) -> float:
-    """Largest |eigenvalue| of a linear operator via power iteration."""
-    v = jax.random.normal(key, (n, 1), dtype=dtype)
-
-    def body(_, v):
-        w = apply_fn(v)
-        return w / (jnp.linalg.norm(w) + 1e-30)
-
-    v = jax.lax.fori_loop(0, iters, body, v)
-    w = apply_fn(v)
-    lam = (v.T @ w)[0, 0] / (v.T @ v)[0, 0]
-    return float(jnp.abs(lam)) * safety
-
-
-# ============================================================================
-# Mass-matrix inverse (Jacobi-scaled Chebyshev iteration)
-# ============================================================================
-
-@dataclasses.dataclass(frozen=True)
-class MassInverse:
-    """Fixed-degree linear approximation of B^{-1}."""
-
-    apply: Callable          # X -> approx B^{-1} X
-    degree: int
-    interval: Tuple[float, float]
-
-
-def make_mass_inverse(apply_B: Callable, diag_B: jax.Array, n: int,
-                      key, degree: int = 18) -> MassInverse:
-    """Build z ~= B^{-1} y via Chebyshev iteration on D^{-1/2} B D^{-1/2}.
-
-    The Jacobi-scaled mass matrix has an h-independent spectrum; its
-    bounds are probed once with power iterations.
-    """
-    dinv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(diag_B, 1e-30))
-
-    def apply_scaled(X):
-        return dinv_sqrt[:, None] * apply_B(dinv_sqrt[:, None] * X)
-
-    b = power_bound(apply_scaled, n, key, iters=50)
-    a_est = power_bound(lambda X: b * X - apply_scaled(X), n,
-                        jax.random.fold_in(key, 1), iters=50)
-    a = max(b - a_est, 1e-3 * b) / 1.1 * 0.9  # undo safety, pad low end
-
-    theta = 0.5 * (b + a)
-    delta = 0.5 * (b - a)
-    sigma1 = theta / delta
-
-    def solve(Y):
-        """Chebyshev semi-iteration for (D^-1/2 B D^-1/2) Z = Yhat."""
-        Yh = Y * dinv_sqrt[:, None] if False else Y  # caller pre-scales
-        X = jnp.zeros_like(Yh)
-        R = Yh
-        D = R / theta
-        rho = 1.0 / sigma1
-
-        def body(_, carry):
-            X, R, D, rho = carry
-            X = X + D
-            R = R - apply_scaled(D)
-            rho_new = 1.0 / (2.0 * sigma1 - rho)
-            D = rho_new * rho * D + (2.0 * rho_new / delta) * R
-            return X, R, D, rho_new
-
-        X, R, D, rho = jax.lax.fori_loop(0, degree, body, (X, R, D, rho))
-        return X + D
-
-    def apply(Y):
-        return dinv_sqrt[:, None] * solve(dinv_sqrt[:, None] * Y)
-
-    return MassInverse(apply=apply, degree=degree, interval=(a, b))
-
-
-# ============================================================================
-# Chebyshev filters
-# ============================================================================
-
-def _cheb_recurrence(apply_t: Callable, X: jax.Array, degree: int,
-                     renorm_every: int = 8) -> jax.Array:
-    """X <- T_degree(t(Op)) X with periodic per-column renormalization."""
-
-    T0 = X
-    T1 = apply_t(X)
-
-    def body(i, carry):
-        T0, T1 = carry
-        T2 = 2.0 * apply_t(T1) - T0
-        # renormalize both recurrence terms by the same per-column factor
-        do = (i % renorm_every) == (renorm_every - 1)
-        s = 1.0 / (jnp.linalg.norm(T2, axis=0, keepdims=True) + 1e-30)
-        s = jnp.where(do, s, jnp.ones_like(s))
-        return T1 * s, T2 * s
-
-    T0, T1 = jax.lax.fori_loop(1, degree, body, (T0, T1))
-    return T1
-
-
-def lowest_filter(apply_L: Callable, X: jax.Array, cut: float, bound: float,
-                  degree: int) -> jax.Array:
-    """Amplify eigen-directions with lambda < cut (unwanted: [cut, bound])."""
-    c = 0.5 * (bound + cut)
-    h = 0.5 * (bound - cut)
-
-    def apply_t(V):
-        return (apply_L(V) - c * V) / h
-
-    return _cheb_recurrence(apply_t, X, degree)
-
-
-def window_filter(apply_L: Callable, X: jax.Array, sigma: jax.Array,
-                  halfwidth: float, bound: float, degree: int) -> jax.Array:
-    """Amplify eigen-directions with |lambda - sigma| < halfwidth.
-
-    Uses the spectral fold F = (L - sigma)^2 (unwanted: [hw^2, bound^2]),
-    then a lowest-end Chebyshev on F. ``sigma`` may be traced (vmap over
-    shifts).
-    """
-    cut2 = halfwidth * halfwidth
-    bnd2 = (bound + jnp.abs(sigma)) ** 2
-    c = 0.5 * (bnd2 + cut2)
-    h = 0.5 * (bnd2 - cut2)
-
-    def apply_t(V):
-        W = apply_L(V) - sigma * V
-        F = apply_L(W) - sigma * W
-        return (F - c * V) / h
-
-    return _cheb_recurrence(apply_t, X, degree)
-
-
-# ============================================================================
-# B-orthonormalization + Rayleigh-Ritz (float64)
-# ============================================================================
-
-def b_orthonormalize(X: jax.Array, apply_B: Callable) -> jax.Array:
-    """Whiten X in the B inner product (eigh-based, rank-robust)."""
-    G = X.T @ apply_B(X)
-    G = 0.5 * (G + G.T)
-    w, V = jnp.linalg.eigh(G)
-    w = jnp.maximum(w, 1e-14 * jnp.max(w))
-    return X @ (V / jnp.sqrt(w)[None, :])
-
-
-class RitzResult(NamedTuple):
-    theta: jax.Array      # (k,) Ritz values, ascending
-    X: jax.Array          # (n, k) B-orthonormal Ritz vectors
-    resnorm: jax.Array    # (k,) ||A x - theta B x||_2 / ||A x||_2
-
-
-def rayleigh_ritz(apply_A: Callable, apply_B: Callable,
-                  X: jax.Array) -> RitzResult:
-    """Exact Rayleigh-Ritz of pencil (A, B) on span(X)."""
-    X = b_orthonormalize(X, apply_B)
-    AX = apply_A(X)
-    H = X.T @ AX
-    H = 0.5 * (H + H.T)
-    theta, V = jnp.linalg.eigh(H)
-    Xr = X @ V
-    AXr = AX @ V
-    R = AXr - apply_B(Xr) * theta[None, :]
-    res = jnp.linalg.norm(R, axis=0) / (jnp.linalg.norm(AXr, axis=0) + 1e-30)
-    return RitzResult(theta=theta, X=Xr, resnorm=res)
-
-
-# ============================================================================
-# Drivers
-# ============================================================================
-
-@dataclasses.dataclass(frozen=True)
-class PencilOps:
-    """Operator bundle for one pencil in two precisions."""
-
-    apply_A64: Callable
-    apply_B64: Callable
-    apply_A32: Callable
-    apply_B32: Callable
-    binv32: Callable       # approximate B^{-1} (float32, linear)
-    n: int                 # operator dimension
-    bound: float           # upper bound on pencil spectrum
-
-
-def solve_lowest(ops: PencilOps, X0: jax.Array, cut: float,
-                 degree: int = 300, passes: int = 3,
-                 tol: float = 1e-7, max_passes: int = 10) -> RitzResult:
-    """Smallest eigenpairs of (A, B) below ``cut`` (scalar Helmholtz).
-
-    Runs filter->Rayleigh-Ritz passes until every Ritz pair below ``cut``
-    has relative residual < ``tol`` (at least ``passes``, at most
-    ``max_passes``) — convergence-controlled, not iteration-tuned.
-    """
-
-    def apply_L32(V):
-        return ops.binv32(ops.apply_A32(V))
-
-    X = X0.astype(jnp.float32)
-    rr = None
-    for ip in range(max_passes):
-        X = lowest_filter(apply_L32, X, cut, ops.bound, degree)
-        X = b_orthonormalize(X.astype(jnp.float64), ops.apply_B64)
-        rr = rayleigh_ritz(ops.apply_A64, ops.apply_B64, X)
-        X = rr.X.astype(jnp.float32)
-        if ip + 1 >= passes:
-            wanted = np.asarray(rr.theta) < cut
-            res = np.asarray(rr.resnorm)
-            maxres = res[wanted].max() if wanted.any() else res.min()
-            if maxres < tol:
-                break
-    return rr
-
-
-def solve_window(ops: PencilOps, X0: jax.Array, sigmas: jax.Array,
-                 halfwidth: float, degree: int = 300,
-                 passes: int = 3) -> RitzResult:
-    """Interior eigenpairs of (A, B) near the given shifts (vectorial).
-
-    X0: (S, n, kb) — one block of kb vectors per shift. The fold filter
-    runs vmapped over shifts; a single pooled float64 Rayleigh-Ritz
-    extracts eigenpairs.
-    """
-
-    def apply_L32(V):
-        return ops.binv32(ops.apply_A32(V))
-
-    S, n, kb = X0.shape
-    X = X0.astype(jnp.float32)
-
-    filt = jax.vmap(
-        lambda Xb, sg: window_filter(apply_L32, Xb, sg, halfwidth,
-                                     ops.bound, degree),
-        in_axes=(0, 0))
-
-    rr = None
-    for _ in range(passes):
-        X = filt(X, sigmas)
-        pooled = jnp.swapaxes(X, 0, 1).reshape(n, S * kb).astype(jnp.float64)
-        rr = rayleigh_ritz(ops.apply_A64, ops.apply_B64, pooled)
-        # redistribute Ritz vectors back to their nearest shift block
-        order = jnp.argsort(jnp.abs(rr.theta[None, :] - sigmas[:, None]),
-                            axis=1)[:, :kb]
-        X = jnp.swapaxes(rr.X[:, order.reshape(-1)].reshape(n, S, kb),
-                         0, 1).astype(jnp.float32)
-    return rr
-
-
-# ============================================================================
-# Host oracle (hybrid backend / parity tests)
-# ============================================================================
 
 def scipy_eigsh_pencil(A_csr, B_csr, k: int, sigma: float,
                        tol: float = 1e-7, maxiter: int = 12000):

@@ -21,21 +21,21 @@ def test_19core_pml_vectorial():
     ok, msg = geom.validate()
     assert ok, msg
     assert geom.config_type.startswith("hex")
-    cfg = SimulationConfig(mesh_min_points=1500, mesh_target_points=6000,
+    cfg = SimulationConfig(mesh_min_points=700, mesh_target_points=3000,
                            mesh=MeshConfig(bucket_rounding=256),
                            solver=SolverConfig(backend="tpu",
-                                               cheb_degree=120,
+                                               cheb_degree=100,
                                                cheb_passes=2,
                                                beta_passes=1))
-    grid = MeshGenerator.generate(geom, 0.3, cfg)
+    grid = MeshGenerator.generate(geom, 0.25, cfg)
     dg = export_device_grid(grid, 256)
     modes = TrueVectorialMaxwellSolver(geom, config=cfg) \
-        .solve_vectorial_modes(dg, n_modes_target=12)
-    assert len(modes) >= 10
+        .solve_vectorial_modes(dg, n_modes_target=8)
+    assert len(modes) >= 8
     ne = np.array([m["n_eff"] for m in modes])
     assert np.all((ne > geom.n_clad) & (ne < geom.n_core * 1.01))
     # 19-core supermode band: leading group clustered near the top
-    assert ne[0] - ne[9] < 0.05
+    assert ne[0] - ne[7] < 0.05
     assert modes[0]["confinement"] > 0.5
 
 
