@@ -95,8 +95,17 @@ class TrueVectorialMaxwellSolver:
         self.config = config or SimulationConfig()
 
     # ------------------------------------------------------------------
-    def solve_vectorial_modes(self, grid=None,
-                              n_modes_target: int = 20) -> List[Dict]:
+    def solve_vectorial_modes(self, grid=None, n_modes_target: int = 20,
+                              sigma: Optional[float] = None) -> List[Dict]:
+        """Solve for guided vectorial modes.
+
+        ``sigma`` (hybrid backend only) overrides the ARPACK shift-invert
+        target beta^2. The reference's LP01-derived shift
+        (solver_fem.py:187-193) lands inside the dense penalty-spurious
+        branch on high-contrast geometries; seeding sigma from a TPU
+        solve's beta_max^2 aims ARPACK at the physical cluster, which
+        turns the hybrid backend into a usable cross-formulation oracle.
+        """
         cfg = self.config
         if grid is None:
             grid = MeshGenerator.generate(self.geometry,
@@ -108,14 +117,16 @@ class TrueVectorialMaxwellSolver:
         hv = build_host_vector3(dg, self.geometry.eps_params(),
                                 cfg.solver.alpha_penalty)
         if cfg.solver.backend == "hybrid":
-            betas, hx, hy = self._solve_hybrid(dg, n_modes_target)
+            betas, hx, hy = self._solve_hybrid(dg, n_modes_target,
+                                               sigma=sigma)
             hz = None
         else:
             betas, hx, hy, hz = self._solve_tpu(hv, dg, n_modes_target)
         return self._postprocess(hv, dg, betas, hx, hy, hz, n_modes_target)
 
     # -- hybrid backend: reference-identical transverse pencil ----------
-    def _solve_hybrid(self, dg: DeviceGrid, n_modes_target: int):
+    def _solve_hybrid(self, dg: DeviceGrid, n_modes_target: int,
+                      sigma: Optional[float] = None):
         import scipy.sparse as sp
 
         g = self.geometry
@@ -145,9 +156,11 @@ class TrueVectorialMaxwellSolver:
         A_int = A[idx, :][:, idx]
         B_int = B[idx, :][:, idx]
 
-        n_eff_est = lp01_neff_estimate(self.k0, float(np.mean(g.core_radii)),
-                                       g.n_core, g.n_clad)
-        sigma = (self.k0 * n_eff_est) ** 2
+        if sigma is None:
+            n_eff_est = lp01_neff_estimate(self.k0,
+                                           float(np.mean(g.core_radii)),
+                                           g.n_core, g.n_clad)
+            sigma = (self.k0 * n_eff_est) ** 2
         k = min(n_modes_target + 12, A_int.shape[0] - 4)
         beta_sq, evecs = scipy_eigsh_pencil(A_int, B_int, k=k, sigma=sigma,
                                             tol=1e-7, maxiter=12000)

@@ -1,0 +1,68 @@
+"""Cross-formulation vectorial parity (TPU fixed-beta 3-component vs
+the reference's transverse 2-component ARPACK pencil).
+
+ARPACK's shift is seeded from the TPU result so it lands on the
+physical cluster instead of the penalty-spurious branch. The two weak
+forms discretize the same continuous Maxwell problem, so they agree
+only up to discretization error — measured on the single-core case
+against the exact Bessel value, the fixed-beta form is ~10x more
+accurate per DOF at coarse resolution (1.4723 vs 1.5065 against exact
+1.474934 at 741 points), converging from below while the transverse
+pencil converges from above.
+"""
+import numpy as np
+import pytest
+
+from pl_fem_tpu.config import MeshConfig, SimulationConfig, SolverConfig
+from pl_fem_tpu.models import MCFGeometry
+from pl_fem_tpu.ops.analytic import vector_modes
+from pl_fem_tpu.ops.femgrid import MeshGenerator, export_device_grid
+from pl_fem_tpu.solvers import TrueVectorialMaxwellSolver
+
+
+def _solve_both(geom, min_pts, refinement, n_modes):
+    cfg_t = SimulationConfig(mesh_min_points=min_pts,
+                             mesh_target_points=4 * min_pts,
+                             mesh=MeshConfig(bucket_rounding=256),
+                             solver=SolverConfig(backend="tpu",
+                                                 cheb_degree=120,
+                                                 cheb_passes=3,
+                                                 beta_passes=2))
+    cfg_h = SimulationConfig(solver=SolverConfig(backend="hybrid"))
+    MeshGenerator.clear_cache()
+    grid = MeshGenerator.generate(geom, refinement, cfg_t)
+    dg = export_device_grid(grid, 256)
+    mt = TrueVectorialMaxwellSolver(geom, config=cfg_t) \
+        .solve_vectorial_modes(dg, n_modes)
+    sigma = (mt[0]["beta"] * 1.0005) ** 2
+    mh = TrueVectorialMaxwellSolver(geom, config=cfg_h) \
+        .solve_vectorial_modes(dg, n_modes, sigma=sigma)
+    return mt, mh
+
+
+def test_single_core_both_formulations_converge_to_exact():
+    geom = MCFGeometry(1, 8.0, 1.3, 1.53, 1.0, wavelength_um=1.55,
+                       use_complex_pml=False)
+    exact = vector_modes(1.55, 1.3, 1.53, 1.0)[0][1]   # HE11
+    mt, mh = _solve_both(geom, 1200, 0.5, 4)
+    assert abs(mt[0]["n_eff"] - exact) < 4e-3
+    assert abs(mh[0]["n_eff"] - exact) < 4e-3
+    # formulations bracket the exact value at this resolution
+    assert abs(mt[0]["n_eff"] - mh[0]["n_eff"]) < 6e-3
+
+
+def test_multicore_seeded_arpack_finds_physical_cluster():
+    """Seeding sigma from the TPU beta turns ARPACK into a usable oracle
+    on air-clad multi-core geometries (its LP01 shift lands on the
+    spurious branch there)."""
+    geom = MCFGeometry(3, 8.0, 1.3, 1.53, 1.0, wavelength_um=1.55)
+    mt, mh = _solve_both(geom, 900, 0.4, 6)
+    assert len(mt) >= 6 and len(mh) >= 6
+    ne_t = np.array([m["n_eff"] for m in mt[:6]])
+    ne_h = np.array([m["n_eff"] for m in mh[:6]])
+    # same physical cluster (coarse 3-core mesh: discretization-level)
+    np.testing.assert_allclose(ne_t, ne_h, atol=2.5e-2)
+    assert ne_h[0] > 1.45          # physical supermodes, not the
+    assert ne_t[0] > 1.45          # spurious branch at n_eff_est ~ 1.26
+    assert mh[0]["div_ratio"] < 1.0
+    assert mh[0]["is_vectorial"]
