@@ -116,7 +116,12 @@ class SmartSampler:
                 local_rng.choice(discrete["taper_profile"]))
             sample["arrangement"] = str(
                 local_rng.choice(discrete["arrangement"]))
-            sample["sample_id"] = f"S_{n_cores}C_{len(candidates):04d}"
+            # Globally unique id: the per-call LHS seed disambiguates the
+            # remainder top-up batch (same n_cores, different n_target)
+            # from the main batch, and the raw LHS row index is unique
+            # within a call — reused counter values would collide with
+            # DatasetGenerator's resume dedup and silently drop designs.
+            sample["sample_id"] = f"S_{n_cores}C_{seed:08x}_{idx:04d}"
 
             ok_geom, _ = self.space.validate_sample_geometry(sample)
             if not ok_geom:

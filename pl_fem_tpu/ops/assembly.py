@@ -43,7 +43,19 @@ class GridArrays(NamedTuple):
     dof_valid: jax.Array    # (D,) float
 
 
-def grid_to_device(dg: DeviceGrid, dtype=jnp.float64) -> GridArrays:
+def grid_to_device(dg: DeviceGrid, dtype=jnp.float32) -> GridArrays:
+    """Ship a DeviceGrid's arrays to the default device.
+
+    Guard (CLAUDE.md gotcha): f64 jit graphs hang the axon TPU compiler
+    for minutes, so 64-bit dtypes are refused when the default backend
+    is a TPU. Host-precision math lives in ops/host_assembly.py.
+    """
+    if jnp.dtype(dtype).itemsize >= 8 and \
+            jax.default_backend() == "tpu":
+        raise ValueError(
+            "grid_to_device(dtype=float64) on a TPU backend is forbidden: "
+            "f64 jit graphs wedge the TPU compiler. Use float32 on device "
+            "and the host f64 polish (ops/host_assembly.py) for precision.")
     return GridArrays(
         elem_dofs=jnp.asarray(dg.elem_dofs, dtype=jnp.int32),
         elem_valid=jnp.asarray(dg.elem_valid, dtype=bool),

@@ -319,7 +319,7 @@ class HostVector3Family:
 
     pat: SharedCSR
     spat: SharedCSR
-    d_core: np.ndarray     # (3, nnz) float32 beta-powers 0..2
+    d_core: np.ndarray     # (3, nnz) float64 beta-powers 0..2
     d_clad: np.ndarray     # (3, nnz)
     d_u: np.ndarray        # (3, nnz)
     M3: sp.csr_matrix
@@ -329,9 +329,7 @@ class HostVector3Family:
 
     def instantiate(self, eps_core: float, eps_clad: float) -> "HostVector3":
         ic, il = 1.0 / eps_core, 1.0 / eps_clad
-        d = (ic * self.d_core.astype(np.float64)
-             + il * self.d_clad.astype(np.float64)
-             + self.d_u.astype(np.float64))
+        d = ic * self.d_core + il * self.d_clad + self.d_u
         return HostVector3(pat=self.pat, d0=d[0], d1=d[1], d2=d[2],
                            M3=self.M3, spat=self.spat, Dxx=self.Dxx,
                            Dyy=self.Dyy, Dxy=self.Dxy)
@@ -388,8 +386,9 @@ def _build_host_vector3_family(dg: DeviceGrid, eps_params,
                                weights=_flat(blocks, T),
                                minlength=len(pat.indices))
 
-        return np.stack([slots(A0), slots(A1), slots(A2)]
-                        ).astype(np.float32)
+        # float64: the sweep path's polish promises exact-f64 operator
+        # coefficients, same as the single-design build_host_vector3
+        return np.stack([slots(A0), slots(A1), slots(A2)])
 
     ones = np.ones_like(dg.qp_w)
     d_core = data_triple({"i": in_core, "u": None})

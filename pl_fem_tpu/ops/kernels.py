@@ -626,15 +626,20 @@ def pencil_bounds_elem(Abig, Bblk, elem_valid, C: int = 1):
     Returns (lo_B, hi_B, bound_A).
     """
     dtype = Abig.dtype
-    # |detJ|_e recovered from the local mass trace (B_e = |detJ| B_ref)
+    # |detJ|_e recovered from the local mass trace (B_e = |detJ| B_ref).
+    # Floor at the dtype tiny (1e-300 underflows to 0 in f32 — a no-op
+    # floor) and mask invalid elements BEFORE the division so a padded or
+    # degenerate element can never produce an inf/NaN Gershgorin row.
     detj = (jnp.einsum("eii->e", Bblk)
             / jnp.asarray(np.trace(_B_REF), dtype=dtype))
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny * 1e3, dtype=dtype)
+    detj = jnp.where(elem_valid, jnp.maximum(detj, tiny), 1.0)
     Linv3 = jnp.zeros((6 * C, 6 * C), dtype=dtype)
     Lref = jnp.asarray(_LINV_REF, dtype=dtype)
     for c in range(C):
         Linv3 = Linv3.at[6 * c:6 * c + 6, 6 * c:6 * c + 6].set(Lref)
     W = jnp.einsum("ij,ejk,lk->eil", Linv3,
-                   Abig / jnp.maximum(detj, 1e-300)[:, None, None], Linv3,
+                   Abig / detj[:, None, None], Linv3,
                    precision=jax.lax.Precision.HIGHEST)
     rows = jnp.abs(W).sum(axis=2).max(axis=1)              # (E,) Gershgorin
     bound_A = jnp.max(jnp.where(elem_valid, rows, 0.0)) * 1.02

@@ -53,6 +53,32 @@ class MeshQualityAnalyzer:
         }
 
     @staticmethod
+    def print_analysis(mesh, log=None) -> Dict:
+        """Human-readable quality report (/root/reference/mesh.py:498-524).
+
+        Emits via ``log`` (default: module print) and returns the metric
+        dict so callers can reuse the numbers.
+        """
+        m = MeshQualityAnalyzer.analyze(mesh)
+        emit = log or print
+        emit("=== mesh quality ===")
+        emit(f"points: {m['n_points']}  elements: {m['n_elements']}")
+        emit(f"area      min/mean/max: {m['area_min']:.3e} / "
+             f"{m['area_mean']:.3e} / {m['area_max']:.3e} um^2")
+        emit(f"aspect    min/mean/max: {m['aspect_min']:.2f} / "
+             f"{m['aspect_mean']:.2f} / {m['aspect_max']:.2f}")
+        emit(f"quality   min/mean/max: {m['quality_min']:.3f} / "
+             f"{m['quality_mean']:.3f} / {m['quality_max']:.3f}")
+        emit(f"min angle min/mean: {m['min_angle_min']:.1f} / "
+             f"{m['min_angle_mean']:.1f} deg")
+        emit(f"poor quality (<0.35): {m['poor_quality_frac'] * 100:.1f}%  "
+             f"bad aspect (>8): {m['bad_aspect_frac'] * 100:.1f}%  "
+             f"small angle (<20 deg): {m['small_angle_frac'] * 100:.1f}%")
+        ok, msg = MeshQualityAnalyzer.validate_mesh_quality(mesh)
+        emit(f"verdict: {'OK' if ok else 'FAIL'} - {msg}")
+        return m
+
+    @staticmethod
     def validate_mesh_quality(mesh, strict: bool = False) -> Tuple[bool, str]:
         m = MeshQualityAnalyzer.analyze(mesh)
         if not m:

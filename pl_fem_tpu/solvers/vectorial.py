@@ -117,9 +117,8 @@ class TrueVectorialMaxwellSolver:
         hv = build_host_vector3(dg, self.geometry.eps_params(),
                                 cfg.solver.alpha_penalty)
         if cfg.solver.backend == "hybrid":
-            betas, hx, hy = self._solve_hybrid(dg, n_modes_target,
-                                               sigma=sigma)
-            hz = None
+            betas, hx, hy, hz = self._solve_hybrid(dg, n_modes_target,
+                                                   sigma=sigma)
         else:
             betas, hx, hy, hz = self._solve_tpu(hv, dg, n_modes_target)
         return self._postprocess(hv, dg, betas, hx, hy, hz, n_modes_target)
@@ -172,7 +171,24 @@ class TrueVectorialMaxwellSolver:
         hy = np.zeros((n, len(betas)))
         hx[interior] = evecs[:ni]
         hy[interior] = evecs[ni:]
-        return betas, hx, hy
+        # Hz from the div-free condition div H = 0: with H = (hx, hy,
+        # i hz~) e^{i beta z}, hz~ = (dx hx + dy hy) / beta, projected
+        # back to the P2 basis via one mass solve. Keeps the mode-dict
+        # schema backend-independent (the transverse pencil itself never
+        # carries Hz; the reference simply omitted it).
+        if len(betas):
+            from scipy.sparse.linalg import factorized
+
+            Ngx = csr(prim["u_ngx"])
+            Ngy = csr(prim["u_ngy"])
+            M = csr(prim["u_nn"])
+            Msolve = factorized(M.tocsc())
+            rhs = (Ngx @ hx + Ngy @ hy) / betas[None, :]
+            hz = np.column_stack([Msolve(rhs[:, i])
+                                  for i in range(rhs.shape[1])])
+        else:
+            hz = np.zeros((n, 0))
+        return betas, hx, hy, hz
 
     # -- tpu backend: fixed-beta 3-component + projected quadratic EVP --
     def _solve_tpu(self, hv: HostVector3, dg: DeviceGrid,
@@ -300,16 +316,24 @@ class TrueVectorialMaxwellSolver:
                          for b, g in zip(betas, geometries)])
         parks = 10.0 * np.maximum(cuts, 1.0)
 
-        # one-time bound from design 0's blocks; margin covers the sweep
-        prim, _, _ = assemble_vector3_system(
-            ga, eps_arrays(g0.eps_params(), dtype=jnp.float32))
-        big0 = vector3_stacked_A(prim, jnp.float32(betas[0]),
-                                 jnp.float32(scfg.alpha_penalty))
+        # Per-design spectrum bounds: sweep members may differ in
+        # n_core/n_clad/wavelength, so one design's Gershgorin bound can
+        # undershoot another's true spectral radius and silently break
+        # the Chebyshev filter. The assemble+bound executable compiles
+        # once (shared shapes) and reruns per design — cheap next to the
+        # filter, and a tight bound keeps the damping interval narrow.
         from ..ops.kernels import pencil_bounds_elem
 
-        _, _, bound = pencil_bounds_elem(big0, prim["u_nn"],
-                                         ga.elem_valid, C=3)
-        bounds = np.full(B, float(bound) * 1.5)
+        bounds = np.empty(B)
+        for bix, g in enumerate(geometries):
+            prim, _, _ = assemble_vector3_system(
+                ga, eps_arrays(g.eps_params(), dtype=jnp.float32))
+            big0 = vector3_stacked_A(prim, jnp.float32(betas[bix]),
+                                     jnp.float32(scfg.alpha_penalty))
+            _, _, bound = pencil_bounds_elem(big0, prim["u_nn"],
+                                             ga.elem_valid, C=3)
+            # 1.1x margin covers the beta drift across beta passes
+            bounds[bix] = float(bound) * 1.1
         del big0, prim
 
         family = build_host_vector3_family(dg, g0.eps_params(),

@@ -66,3 +66,9 @@ def test_multicore_seeded_arpack_finds_physical_cluster():
     assert ne_t[0] > 1.45          # spurious branch at n_eff_est ~ 1.26
     assert mh[0]["div_ratio"] < 1.0
     assert mh[0]["is_vectorial"]
+    # backend-independent mode-dict schema: the hybrid backend now
+    # reconstructs Hz from the div-free condition, so both backends
+    # expose identical keys (VERDICT r1 #10)
+    assert set(mt[0].keys()) == set(mh[0].keys())
+    assert "Hz_dofs" in mh[0]
+    assert np.linalg.norm(mh[0]["Hz_dofs"]) > 0

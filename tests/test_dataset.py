@@ -37,6 +37,38 @@ def test_lhs_determinism(space):
                for a, b in zip(s1, s3))
 
 
+def test_sample_ids_globally_unique(space):
+    """The remainder top-up batch must not reuse ids already issued for
+    the same architecture (resume dedup relies on id uniqueness)."""
+    # 11 over 2 architectures -> per_arch=5 + a 1-sample top-up batch
+    samples = SmartSampler(space, base_seed=3).generate_stratified_samples(
+        11, ensure_diversity=False)
+    ids = [s["sample_id"] for s in samples]
+    assert len(ids) == len(set(ids)), f"duplicate sample ids: {ids}"
+
+
+def test_grid_to_device_refuses_f64_on_tpu(monkeypatch):
+    """f64 jit graphs wedge the axon TPU compiler; the guard must fire
+    before any device buffer is created (VERDICT r1 #9)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pl_fem_tpu.models import MCFGeometry
+    from pl_fem_tpu.ops.assembly import grid_to_device
+    from pl_fem_tpu.ops.femgrid import MeshGenerator, export_device_grid
+
+    geom = MCFGeometry(1, 8.0, 1.3, 1.53, 1.0, wavelength_um=1.55)
+    cfg = SimulationConfig(mesh_min_points=200, mesh_target_points=800)
+    grid = MeshGenerator.generate(geom, 0.3, cfg)
+    dg = export_device_grid(grid, 128)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="float64"):
+        grid_to_device(dg, dtype=jnp.float64)
+    monkeypatch.undo()
+    ga = grid_to_device(dg)          # default must be f32
+    assert ga.qp_w.dtype == jnp.float32
+
+
 def test_samples_respect_bounds_and_gates(space):
     samples = SmartSampler(space, base_seed=1).generate_stratified_samples(
         16, quality_threshold=0.35)
