@@ -36,6 +36,12 @@ class SolverConfig:
     dtype_rr: str = "float64"       # Rayleigh-Ritz precision
     alpha_penalty: float = 1.0      # divergence penalty alpha_p (solver_fem.py:158)
     beta_passes: int = 2            # fixed-beta refinement passes (vectorial tpu)
+    binv_degree: int = 4            # Chebyshev B^{-1} degree in the filter
+    # two-grid spectral bootstrap: solve on a ~6x-coarser mesh first and
+    # prolong the Ritz vectors as the fine filter's starting subspace
+    # (cuts fine filter passes and centers beta without a beta pass)
+    bootstrap: bool = True
+    bootstrap_min_dofs: int = 6000  # fine problems below this skip it
 
 
 @dataclasses.dataclass(frozen=True)

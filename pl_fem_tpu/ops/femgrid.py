@@ -474,6 +474,61 @@ def export_device_grid(grid: FEMGrid, bucket_rounding: int = 4096,
 
 
 # ============================================================================
+# P2 prolongation (two-grid bootstrap)
+# ============================================================================
+
+def p2_prolongation(coarse: FEMGrid, fine_coords: np.ndarray):
+    """Sparse interpolation matrix from a coarse P2 grid to points.
+
+    For each query point, locates a containing coarse element (k-NN over
+    element centroids + best-barycentric fallback for hull-roundoff
+    points) and records the 6 P2 shape values there. The result P
+    (n_points x n_coarse_dofs) prolongs coarse fields to the fine grid —
+    the transfer operator of the two-grid spectral bootstrap (coarse
+    Ritz vectors seed the fine Chebyshev filter, cutting filter passes).
+    No reference analog: the reference re-solves every problem from
+    scratch with ARPACK.
+    """
+    import scipy.sparse as sp
+    from scipy.spatial import cKDTree
+
+    pts = np.asarray(fine_coords, dtype=np.float64)
+    n_q = pts.shape[0]
+    p, t = coarse.mesh.points, coarse.mesh.tris
+    v0 = p[t[:, 0]]
+    J = np.stack([p[t[:, 1]] - v0, p[t[:, 2]] - v0], axis=2)  # (T,2,2)
+    detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+    invJ = (np.stack([
+        np.stack([J[:, 1, 1], -J[:, 0, 1]], axis=1),
+        np.stack([-J[:, 1, 0], J[:, 0, 0]], axis=1)], axis=1)
+        / detJ[:, None, None])                                 # (T,2,2)
+
+    centroids = (p[t[:, 0]] + p[t[:, 1]] + p[t[:, 2]]) / 3.0
+    kq = min(12, len(t))
+    _, cand = cKDTree(centroids).query(pts, k=kq)
+    cand = np.atleast_2d(cand.reshape(n_q, -1))                # (n_q, kq)
+
+    d = pts[:, None, :] - v0[cand]                             # (n_q, kq, 2)
+    ref = np.einsum("qkab,qkb->qka", invJ[cand], d)            # (n_q, kq, 2)
+    bary_min = np.minimum(np.minimum(ref[..., 0], ref[..., 1]),
+                          1.0 - ref[..., 0] - ref[..., 1])
+    best = np.argmax(bary_min, axis=1)
+    rows_q = np.arange(n_q)
+    elem = cand[rows_q, best]
+    rs = np.clip(ref[rows_q, best], 0.0, 1.0)
+    s = rs.sum(axis=1)
+    over = s > 1.0
+    rs[over] /= s[over, None]
+
+    N, _ = p2_shape(rs)                                        # (n_q, 6)
+    cols = coarse.elem_dofs[elem]                              # (n_q, 6)
+    rows = np.repeat(rows_q, 6)
+    P = sp.coo_matrix((N.ravel(), (rows, cols.ravel())),
+                      shape=(n_q, coarse.n_dofs))
+    return P.tocsr()
+
+
+# ============================================================================
 # MeshGenerator with cache (reference seam: mesh.py:50-416)
 # ============================================================================
 

@@ -260,6 +260,11 @@ class HostVector3:
     Dxx: sp.csr_matrix
     Dyy: sp.csr_matrix
     Dxy: sp.csr_matrix      # [i,j] = int dx phi_i dy phi_j
+    # Im(eps)-weighted mass (PML absorption) for the first-order
+    # radiation perturbation Im(beta^2) ~ k0^2 <h|Im eps|h> / <h|M|h>
+    # (reference analog: complex-eps scalar path, main.py:108-122).
+    # None when the PML is disabled.
+    Mim: Optional[sp.csr_matrix] = None
 
     def A_of(self, beta: float) -> sp.csr_matrix:
         data = self.d0 + beta * self.d1 + beta * beta * self.d2
@@ -274,7 +279,7 @@ class HostVector3:
 
 def build_host_vector3(dg: DeviceGrid, eps_params,
                        alpha_p: float = 1.0) -> HostVector3:
-    eps_re, _ = eps_at_quadrature_np(dg, eps_params)
+    eps_re, eps_im = eps_at_quadrature_np(dg, eps_params)
     prim = vector3_prims_np(dg, eps_re)
     T = dg.n_elems
 
@@ -299,8 +304,13 @@ def build_host_vector3(dg: DeviceGrid, eps_params,
     Dxx = spat.with_blocks(_flat(prim["u_gxgx"], T))
     Dyy = spat.with_blocks(_flat(prim["u_gygy"], T))
     Dxy = spat.with_blocks(_flat(prim["u_gxgy"], T))
+    Mim = None
+    if np.any(eps_im > 0.0):
+        Nq = np.broadcast_to(dg.shape_vals[None], dg.qp_w.shape + (6,))
+        Mim = spat.with_blocks(
+            _flat(_wsum_np(dg.qp_w, eps_im, Nq, Nq), T))
     return HostVector3(pat=pat, d0=d0, d1=d1, d2=d2, M3=M3,
-                       spat=spat, Dxx=Dxx, Dyy=Dyy, Dxy=Dxy)
+                       spat=spat, Dxx=Dxx, Dyy=Dyy, Dxy=Dxy, Mim=Mim)
 
 
 @dataclasses.dataclass
@@ -326,13 +336,17 @@ class HostVector3Family:
     Dxx: sp.csr_matrix
     Dyy: sp.csr_matrix
     Dxy: sp.csr_matrix
+    # sigma-weighted mass: Im(eps) = eps_clad * sigma in the PML annulus
+    # (cores never reach the PML), so Mim is linear in eps_clad too
+    Msig: Optional[sp.csr_matrix] = None
 
     def instantiate(self, eps_core: float, eps_clad: float) -> "HostVector3":
         ic, il = 1.0 / eps_core, 1.0 / eps_clad
         d = ic * self.d_core + il * self.d_clad + self.d_u
+        Mim = None if self.Msig is None else eps_clad * self.Msig
         return HostVector3(pat=self.pat, d0=d[0], d1=d[1], d2=d[2],
                            M3=self.M3, spat=self.spat, Dxx=self.Dxx,
-                           Dyy=self.Dyy, Dxy=self.Dxy)
+                           Dyy=self.Dyy, Dxy=self.Dxy, Mim=Mim)
 
 
 _FAMILY_CACHE: dict = {}
@@ -401,9 +415,20 @@ def _build_host_vector3_family(dg: DeviceGrid, eps_params,
     Dxx = spat.with_blocks(_flat(prim_u["u_gxgx"], T))
     Dyy = spat.with_blocks(_flat(prim_u["u_gygy"], T))
     Dxy = spat.with_blocks(_flat(prim_u["u_gxgy"], T))
+    Msig = None
+    if eps_params.pml_thickness > 0.0 and eps_params.pml_start > 0.0:
+        xq = dg.qp_xy[..., 0]
+        yq = dg.qp_xy[..., 1]
+        rho = np.clip((np.hypot(xq, yq) - eps_params.pml_start)
+                      / eps_params.pml_thickness, 0.0, 1.0)
+        sigma = eps_params.pml_strength * rho ** eps_params.pml_order
+        if np.any(sigma > 0.0):
+            Nq = np.broadcast_to(dg.shape_vals[None], dg.qp_w.shape + (6,))
+            Msig = spat.with_blocks(
+                _flat(_wsum_np(dg.qp_w, sigma, Nq, Nq), T))
     return HostVector3Family(pat=pat, spat=spat, d_core=d_core,
                              d_clad=d_clad, d_u=d_u, M3=M3, Dxx=Dxx,
-                             Dyy=Dyy, Dxy=Dxy)
+                             Dyy=Dyy, Dxy=Dxy, Msig=Msig)
 
 
 # ---------------------------------------------------------------------------
@@ -476,10 +501,17 @@ def quadratic_subspace(hv: HostVector3, X: np.ndarray, k0: float,
     order = np.argsort(-betas)
     betas, ys = betas[order], ys[:, order]
     H = V @ ys
-    res = np.empty(len(betas))
-    for i, b in enumerate(betas):
-        Ah = hv.A_of(b) @ H[:, i] - k0**2 * (hv.M3 @ H[:, i])
-        if mask is not None:
-            Ah = Ah * mask
-        res[i] = np.linalg.norm(Ah) / (k0**2 * np.linalg.norm(H[:, i]) + 1e-300)
+    # Residuals for all roots from four shared SpMV batches —
+    # A(b) h = (A0 + b A1 + b^2 A2) h is linear in the per-column
+    # scalars, so no per-root CSR instantiation is needed.
+    A0H = A0 @ H
+    A1H = A1 @ H
+    A2H = A2 @ H
+    MH = hv.M3 @ H
+    R = A0H + A1H * betas[None, :] + A2H * (betas**2)[None, :] \
+        - k0**2 * MH
+    if mask is not None:
+        R = R * mask[:, None]
+    res = np.linalg.norm(R, axis=0) / (k0**2 * np.linalg.norm(H, axis=0)
+                                       + 1e-300)
     return betas, H, V, res

@@ -68,8 +68,11 @@ def modes_to_batch(modes: List[Dict], max_modes: int = 64) -> ModeBatch:
 
     beta_im = np.zeros(M)
     for i, md in enumerate(modes[:M]):
-        b = md.get("beta", 0.0)
-        beta_im[i] = float(np.imag(b)) if np.iscomplexobj(b) else 0.0
+        if "beta_im" in md:           # PML perturbation (vectorial solver)
+            beta_im[i] = float(md["beta_im"])
+        else:
+            b = md.get("beta", 0.0)
+            beta_im[i] = float(np.imag(b)) if np.iscomplexobj(b) else 0.0
     return ModeBatch(
         n_eff=arr("n_eff", 0.0),
         beta_im=jnp.asarray(beta_im),

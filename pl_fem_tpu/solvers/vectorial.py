@@ -58,7 +58,7 @@ from ..ops.host_assembly import (
     scalar_pattern,
     vector3_prims_np,
 )
-from ..ops.kernels import QFactorSweep, solve_lowest_qf, solve_lowest_sweep
+from ..ops.kernels import QFactorSweep, solve_lowest_sweep
 from .postproc import polarization_from_powers, polarization_label
 
 logger = logging.getLogger("pl_fem_tpu.solvers.vectorial")
@@ -66,12 +66,42 @@ logger = logging.getLogger("pl_fem_tpu.solvers.vectorial")
 
 def lp01_neff_estimate(k0: float, r_mean: float, n_core: float,
                        n_clad: float) -> float:
-    """LP01 effective-index estimate (solver_fem.py:187-193)."""
+    """LP01 effective-index estimate (solver_fem.py:187-193).
+
+    The reference clips to [n_clad + 0.05, n_core - 0.005]; for low
+    contrast (delta_n < 0.055) that window is empty and numpy's clip
+    degenerates to the upper bound, ruining a perfectly good estimate —
+    shrink the lower clip so the window stays valid (the reference never
+    hits this regime: its claddings are air).
+    """
     NA = np.sqrt(max(n_core**2 - n_clad**2, 1e-6))
     V_geom = k0 * r_mean * NA
     b_approx = max((1.0 - 2.405 / max(V_geom, 2.41)) ** 2, 0.05)
     n_eff_est = np.sqrt(n_clad**2 + b_approx * (n_core**2 - n_clad**2))
-    return float(np.clip(n_eff_est, n_clad + 0.05, n_core - 0.005))
+    hi = n_core - 0.005
+    lo = n_clad + min(0.05, 0.5 * (n_core - n_clad))
+    return float(np.clip(n_eff_est, min(lo, hi), hi))
+
+
+_PROLONG_CACHE: dict = {}
+
+
+def _prolongation_cached(grid_c: FEMGrid, dg: DeviceGrid):
+    """Coarse->fine P2 prolongation, cached per (coarse, fine) pair."""
+    import zlib
+
+    from ..ops.femgrid import p2_prolongation
+
+    key = (zlib.crc32(grid_c.elem_dofs.tobytes()), grid_c.n_dofs,
+           zlib.crc32(np.ascontiguousarray(
+               dg.dof_coords[:dg.n_dofs]).tobytes()), dg.n_dofs)
+    P = _PROLONG_CACHE.get(key)
+    if P is None:
+        P = p2_prolongation(grid_c, dg.dof_coords[:dg.n_dofs])
+        if len(_PROLONG_CACHE) > 8:
+            _PROLONG_CACHE.clear()
+        _PROLONG_CACHE[key] = P
+    return P
 
 
 def _as_device_grid(grid, config: SimulationConfig) -> DeviceGrid:
@@ -114,14 +144,17 @@ class TrueVectorialMaxwellSolver:
         if cfg.solver.backend not in ("tpu", "hybrid"):
             raise ValueError(f"unknown solver backend "
                              f"{cfg.solver.backend!r}; use 'tpu' or 'hybrid'")
-        hv = build_host_vector3(dg, self.geometry.eps_params(),
-                                cfg.solver.alpha_penalty)
         if cfg.solver.backend == "hybrid":
+            hv = build_host_vector3(dg, self.geometry.eps_params(),
+                                    cfg.solver.alpha_penalty)
             betas, hx, hy, hz = self._solve_hybrid(dg, n_modes_target,
                                                    sigma=sigma)
-        else:
-            betas, hx, hy, hz = self._solve_tpu(hv, dg, n_modes_target)
-        return self._postprocess(hv, dg, betas, hx, hy, hz, n_modes_target)
+            return self._postprocess(hv, dg, betas, hx, hy, hz,
+                                     n_modes_target)
+        # tpu backend: the packed sweep machinery with B = 1 (shared
+        # code path gets the two-grid bootstrap + per-design bounds)
+        return type(self).solve_sweep([self.geometry], dg, n_modes_target,
+                                      cfg)[0]
 
     # -- hybrid backend: reference-identical transverse pencil ----------
     def _solve_hybrid(self, dg: DeviceGrid, n_modes_target: int,
@@ -190,78 +223,85 @@ class TrueVectorialMaxwellSolver:
             hz = np.zeros((n, 0))
         return betas, hx, hy, hz
 
-    # -- tpu backend: fixed-beta 3-component + projected quadratic EVP --
-    def _solve_tpu(self, hv: HostVector3, dg: DeviceGrid,
-                   n_modes_target: int):
-        scfg = self.config.solver
-        g = self.geometry
-        k0t = self.k0
-        eps_clad = g.n_clad**2
+    # -- two-grid spectral bootstrap (no reference analog) ---------------
+    @classmethod
+    def _bootstrap_sweep(cls, geometries, dg: DeviceGrid,
+                         n_modes_target: int, cfg: SimulationConfig):
+        """Coarse-mesh solve -> prolonged Ritz vectors + per-design beta.
+
+        Solves the same sweep on a ~6x-coarser mesh (cheap: element count
+        AND filter degree shrink together) and P2-interpolates the
+        polished coarse modes onto the fine DOFs. The fine filter then
+        starts from a subspace already within discretization error of
+        the answer, so one fine pass replaces the random-init 2-4, and
+        the coarse betas center the fixed-beta expansion without a fine
+        beta pass. Returns (X0 (3Dp, B, k) f32, betas (B,), used mask)
+        or None if the bootstrap is not applicable.
+        """
+        import dataclasses as dc
+
+        scfg = cfg.solver
+        g0 = geometries[0]
+        B = len(geometries)
         n = dg.n_dofs
         Dp = dg.n_dofs_padded
-
-        ga = grid_to_device(dg, dtype=jnp.float32)
-        ea = eps_arrays(g.eps_params(), dtype=jnp.float32)
-        qf, diag_M = assemble_vector3_qf(ga, ea)
-
-        n_eff_est = lp01_neff_estimate(k0t, float(np.mean(g.core_radii)),
-                                       g.n_core, g.n_clad)
-        beta0 = k0t * n_eff_est
-
-        # one-time spectrum bound from materialized blocks (freed after);
-        # 1.3x margin covers the beta drift across refinement passes
-        prim, _, _ = assemble_vector3_system(ga, ea)
-        big0 = vector3_stacked_A(prim, jnp.float32(beta0),
-                                 jnp.float32(scfg.alpha_penalty))
-        from ..ops.kernels import pencil_bounds_elem
-
-        _, _, bound = pencil_bounds_elem(big0, prim["u_nn"],
-                                         ga.elem_valid, C=3)
-        bound = float(bound) * 1.3
-        del big0, prim
-        beta_lo = k0t * g.n_clad * (1.0 + 1e-9)
-        beta_hi = k0t * g.n_core * 1.01
-        mask3 = np.tile(dg.interior_mask[:n], 3).astype(np.float64)
-
         k = min(n_modes_target + scfg.extra_vectors, n)
-        X = jax.random.normal(jax.random.PRNGKey(11), (3 * Dp, k),
-                              dtype=jnp.float32)
-        pooled = None
-        betas = np.zeros(0)
-        H = np.zeros((3 * n, 0))
 
-        for ip in range(max(1, scfg.beta_passes)):
-            cut = min(beta0**2 / eps_clad, 1.35 * k0t**2)
-            park = 10.0 * max(cut, 1.0)
-            theta, Xr, res = solve_lowest_qf(
-                qf, gather_scatter(ga), ga.interior_mask, diag_M, X, cut,
-                beta0, scfg.alpha_penalty, bound,
-                degree=scfg.cheb_degree, passes=scfg.cheb_passes,
-                tol=scfg.scalar_tol, park=park, n_wanted=k)
+        fine_pts = max(n // 4, 1)
+        coarse_min = max(500, fine_pts // 6)
+        coarse_cfg = dc.replace(
+            cfg, mesh_min_points=coarse_min,
+            mesh_target_points=4 * coarse_min,
+            mesh=dc.replace(cfg.mesh, bucket_rounding=256),
+            solver=dc.replace(scfg, bootstrap=False,
+                              cheb_degree=max(100, scfg.cheb_degree // 2),
+                              cheb_passes=2, beta_passes=2))
+        try:
+            # The point cloud's size is set by the refinement factor (the
+            # config's min-points only ever refines upward), so walk
+            # refinement DOWN until the mesh is genuinely coarser than
+            # the fine grid; the fan-density floors in the cloud builder
+            # put a lower bound on how coarse a multicore mesh can get.
+            grid_c = None
+            for ref_c in (0.5, 0.4, 0.3, 0.25):
+                cand = MeshGenerator.generate(g0, ref_c, coarse_cfg)
+                if cand.n_dofs <= n // 3:
+                    grid_c = cand
+                    break
+            if grid_c is None:
+                return None
+            results_c = cls.solve_sweep(geometries, grid_c,
+                                        n_modes_target, coarse_cfg)
+        except Exception as e:   # bootstrap is an accelerator, never fatal
+            logger.warning("bootstrap solve failed (%s); random init", e)
+            return None
+        if not any(results_c):
+            return None
 
-            # pool host-side f64 subspace across beta passes
-            Xh = np.asarray(Xr, dtype=np.float64)
-            Xh = np.concatenate([Xh[c * Dp:c * Dp + n] for c in range(3)],
-                                axis=0) * mask3[:, None]
-            pooled = Xh if pooled is None else np.concatenate(
-                [pooled, Xh], axis=1)
-
-            betas, H, _, qres = quadratic_subspace(
-                hv, pooled, k0t, beta_lo, beta_hi, mask=mask3)
-            if len(betas) == 0:
-                break
-            beta_new = float(np.median(betas))
-            if ip + 1 < scfg.beta_passes and abs(beta_new - beta0) > 1e-6:
-                beta0 = beta_new
-                X = Xr
-            else:
-                break
-
-        if len(betas) == 0:
-            z = np.zeros((n, 0))
-            return np.zeros(0), z, z, z
-        hx, hy, hz = H[:n], H[n:2 * n], H[2 * n:]
-        return betas, hx, hy, hz
+        P = _prolongation_cached(grid_c, dg)
+        rng = np.random.default_rng(11)
+        X0 = np.zeros((3 * Dp, B, k), dtype=np.float32)
+        betas0 = np.zeros(B)
+        used = np.zeros(B, dtype=bool)
+        for b, ms in enumerate(results_c):
+            nm = min(len(ms), k)
+            if nm == 0:
+                col = rng.standard_normal((3 * Dp, k))
+                X0[:, b, :] = col / np.linalg.norm(col, axis=0)
+                continue
+            Hc = np.stack([np.concatenate([m["Ex_dofs"], m["Ey_dofs"],
+                                           m["Hz_dofs"]])
+                           for m in ms[:nm]], axis=1)     # (3nc, nm)
+            nc = grid_c.n_dofs
+            for c in range(3):
+                X0[c * Dp:c * Dp + n, b, :nm] = \
+                    P @ Hc[c * nc:(c + 1) * nc]
+            if nm < k:
+                X0[:, b, nm:] = rng.standard_normal((3 * Dp, k - nm))
+            X0[:, b, :] /= (np.linalg.norm(X0[:, b, :], axis=0) + 1e-30)
+            betas0[b] = float(np.median([m["beta"] for m in ms]))
+            used[b] = True
+        return jnp.asarray(X0), betas0, used
 
     # -- same-grid sweep (no reference analog: BASELINE config 2) -------
     @classmethod
@@ -287,9 +327,11 @@ class TrueVectorialMaxwellSolver:
 
         # Working-set guard: very large (elements x packed-lanes) sweeps
         # have crashed this TPU toolchain; split into sub-sweeps instead.
+        # Probed r2: 3.8M units (E=21504, B=8, k=22) runs clean end to
+        # end at production mesh size; guard set with margin above that.
         k_est = min(n_modes_target + scfg.extra_vectors, n)
         E_pad = dg.elem_dofs.shape[0]
-        budget = 1_500_000            # max E_pad * B * k working-set units
+        budget = 6_000_000            # max E_pad * B * k working-set units
         b_max = max(1, budget // (E_pad * k_est))
         if B > b_max:
             out = []
@@ -297,6 +339,11 @@ class TrueVectorialMaxwellSolver:
                 out.extend(cls.solve_sweep(geometries[s:s + b_max], dg,
                                            n_modes_target, cfg))
             return out
+
+        # two-grid bootstrap: coarse solve -> X0 + per-design beta0
+        boot = None
+        if scfg.bootstrap and n >= scfg.bootstrap_min_dofs:
+            boot = cls._bootstrap_sweep(geometries, dg, n_modes_target, cfg)
 
         ga = grid_to_device(dg, dtype=jnp.float32)
         gs = gather_scatter(ga)
@@ -312,6 +359,13 @@ class TrueVectorialMaxwellSolver:
             g.k0 * lp01_neff_estimate(g.k0, float(np.mean(g.core_radii)),
                                       g.n_core, g.n_clad)
             for g in geometries])
+        beta_passes_eff = max(1, scfg.beta_passes)
+        if boot is not None:
+            _, betas_c, used_c = boot
+            betas = np.where(used_c, betas_c, betas)
+            if used_c.all():
+                # coarse betas are polish-accurate; skip fine beta passes
+                beta_passes_eff = 1
         cuts = np.array([min(b**2 / g.n_clad**2, 1.35 * g.k0**2)
                          for b, g in zip(betas, geometries)])
         parks = 10.0 * np.maximum(cuts, 1.0)
@@ -336,21 +390,37 @@ class TrueVectorialMaxwellSolver:
             bounds[bix] = float(bound) * 1.1
         del big0, prim
 
-        family = build_host_vector3_family(dg, g0.eps_params(),
+        if B == 1:
+            # one-off single design: skip the 3x-cost family precompute
+            hv_single = build_host_vector3(dg, g0.eps_params(),
                                            scfg.alpha_penalty)
+            family = None
+        else:
+            family = build_host_vector3_family(dg, g0.eps_params(),
+                                               scfg.alpha_penalty)
         mask3 = np.tile(dg.interior_mask[:n], 3).astype(np.float64)
         k = min(n_modes_target + scfg.extra_vectors, n)
-        X = jax.random.normal(jax.random.PRNGKey(11), (3 * Dp, B, k),
-                              dtype=jnp.float32)
+        if boot is not None:
+            X = boot[0]
+            cheb_passes_eff = 1      # bootstrapped subspace: 1 pass + stall
+        else:
+            X = jax.random.normal(jax.random.PRNGKey(11), (3 * Dp, B, k),
+                                  dtype=jnp.float32)
+            cheb_passes_eff = scfg.cheb_passes
         pooled = [None] * B
 
         results = [[] for _ in range(B)]
-        for ip in range(max(1, scfg.beta_passes)):
+        for ip in range(beta_passes_eff):
+            # residual gate only on the modes the caller needs (theta is
+            # ascending; the physical cluster sits at the bottom) — the
+            # near-cut junk lanes converge slowest and would otherwise
+            # burn whole extra filter passes
+            n_gate = min(k, n_modes_target + 4)
             theta, Xr, res = solve_lowest_sweep(
                 qs, gs, ga.interior_mask, diag, X, cuts, betas,
                 scfg.alpha_penalty, bounds, degree=scfg.cheb_degree,
-                passes=scfg.cheb_passes, tol=scfg.scalar_tol,
-                parks=parks, n_wanted=k)
+                passes=cheb_passes_eff, tol=scfg.scalar_tol,
+                parks=parks, n_wanted=n_gate, binv_degree=scfg.binv_degree)
             Xh_all = np.asarray(Xr, dtype=np.float64)
             beta_new = betas.copy()
             for bix, g in enumerate(geometries):
@@ -360,18 +430,27 @@ class TrueVectorialMaxwellSolver:
                     axis=0) * mask3[:, None]
                 pooled[bix] = Xh if pooled[bix] is None else \
                     np.concatenate([pooled[bix], Xh], axis=1)
-                hv = family.instantiate(g.n_core**2, g.n_clad**2)
-                bts, H, _, _ = quadratic_subspace(
+                hv = hv_single if family is None else \
+                    family.instantiate(g.n_core**2, g.n_clad**2)
+                bts, H, _, qres = quadratic_subspace(
                     hv, pooled[bix], g.k0,
                     g.k0 * g.n_clad * (1 + 1e-9), g.k0 * g.n_core * 1.01,
                     mask=mask3)
+                if len(bts) > k:
+                    # The companion linearization of the pooled subspace
+                    # can return up to 2m in-window roots; keep the k
+                    # best-converged (ARPACK returns exactly k = n + 12,
+                    # solver_fem.py:196 — same cardinality contract).
+                    keep = np.argsort(qres)[:k]
+                    keep = keep[np.argsort(-bts[keep])]
+                    bts, H = bts[keep], H[:, keep]
                 if len(bts):
                     beta_new[bix] = float(np.median(bts))
                     hx, hy, hz = H[:n], H[n:2 * n], H[2 * n:]
                     solver = cls(g, config=cfg)
                     results[bix] = solver._postprocess(
                         hv, dg, bts, hx, hy, hz, n_modes_target)
-            if ip + 1 < scfg.beta_passes and \
+            if ip + 1 < beta_passes_eff and \
                     np.abs(beta_new - betas).max() > 1e-6:
                 betas = beta_new
                 cuts = np.array([min(b**2 / g.n_clad**2, 1.35 * g.k0**2)
@@ -403,6 +482,25 @@ class TrueVectorialMaxwellSolver:
                       + np.sum(hy * (hv.Dyy @ hy), axis=0))
         div_ratio = div_energy / np.maximum(betas**2, 1e-12)
 
+        # PML radiation damping: first-order perturbation of the real-eps
+        # eigenproblem by i*Im(eps), Im(beta^2) = k0^2 <h|Im eps|h> /
+        # <h|M|h> on the transverse intensity; Im beta = Im(beta^2) /
+        # (2 beta). Feeds radiation_loss's from-Im-beta branch (reference
+        # formula losses.py:707-708; its complex-eps source is the scalar
+        # CLI path main.py:108-122).
+        if hv.Mim is not None:
+            num = (np.sum(hx * (hv.Mim @ hx), axis=0)
+                   + np.sum(hy * (hv.Mim @ hy), axis=0))
+            # hv.M3 is block-diag(M, M, M); use its first block via Dxx's
+            # pattern-mate: plain mass = M3[:n, :n]
+            Mh = hv.M3[:hx.shape[0], :hx.shape[0]]
+            den = (np.sum(hx * (Mh @ hx), axis=0)
+                   + np.sum(hy * (Mh @ hy), axis=0))
+            beta_im = (self.k0**2 * num / np.maximum(den, 1e-300)
+                       / np.maximum(2.0 * betas, 1e-300))
+        else:
+            beta_im = np.zeros_like(betas)
+
         xy = dg.dof_coords[:n]
         pos = np.asarray(g.positions)
         rad = np.asarray(g.core_radii)
@@ -432,6 +530,7 @@ class TrueVectorialMaxwellSolver:
             m = {
                 "n_eff": float(ne[i]),
                 "beta": float(betas[i]),
+                "beta_im": float(beta_im[i]),
                 "Ex_dofs": hx[:, i].copy(),
                 "Ey_dofs": hy[:, i].copy(),
                 "P_x": float(P_x[i]),

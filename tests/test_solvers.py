@@ -113,6 +113,30 @@ def test_vectorial_tpu_vs_analytic(fiber):
     assert ne[0] < lp01
 
 
+def test_vectorial_bootstrap_matches_random_init(fiber):
+    """Two-grid bootstrap path reproduces the random-init n_eff values.
+
+    bootstrap_min_dofs is lowered so the coarse-solve -> prolongation ->
+    single-fine-pass path runs on the small CPU test mesh; parity with
+    the (already analytic-gated) random-init solve is the oracle.
+    """
+    geom, dg = fiber
+    cfg_rand = SimulationConfig(solver=SolverConfig(
+        backend="tpu", cheb_degree=150, cheb_passes=2, beta_passes=2,
+        bootstrap=False))
+    cfg_boot = SimulationConfig(solver=SolverConfig(
+        backend="tpu", cheb_degree=150, cheb_passes=2, beta_passes=2,
+        bootstrap=True, bootstrap_min_dofs=1000))
+    mr = TrueVectorialMaxwellSolver(geom, config=cfg_rand) \
+        .solve_vectorial_modes(dg, n_modes_target=8)
+    mb = TrueVectorialMaxwellSolver(geom, config=cfg_boot) \
+        .solve_vectorial_modes(dg, n_modes_target=8)
+    assert len(mb) >= 8
+    for a, b in zip(mr[:8], mb[:8]):
+        assert abs(a["n_eff"] - b["n_eff"]) < 5e-5, \
+            f"{a['n_eff']} vs {b['n_eff']}"
+
+
 def test_vectorial_hybrid_backend_runs(fiber):
     """Reference-faithful ARPACK transverse-pencil backend executes.
 
@@ -129,6 +153,34 @@ def test_vectorial_hybrid_backend_runs(fiber):
     assert isinstance(modes, list)
     for m in modes:
         assert geom.n_clad < m["n_eff"] < geom.n_core * 1.01
+
+
+def test_pml_im_beta_radiation_loss():
+    """A weakly-guided mode whose tail reaches the PML gets Im beta > 0
+    from the first-order perturbation, and radiation_loss switches to
+    the from-Im-beta branch (reference formula losses.py:707-708)."""
+    from pl_fem_tpu.physics.losses import modes_to_batch, radiation_loss
+
+    geom = MCFGeometry(1, 8.0, 1.5, 1.480, 1.444, wavelength_um=1.55,
+                       cladding_radius=6.0, use_complex_pml=True)
+    # Hybrid backend: a barely-guided low-contrast mode sits ~2% below
+    # the radiation edge, where the polynomial filter would need an
+    # impractical degree (the reference's air-clad dataset space never
+    # enters this regime); shift-invert targets it directly, and the
+    # Im-beta perturbation lives in the shared _postprocess.
+    cfg = SimulationConfig(mesh_min_points=600, mesh_target_points=2500,
+                           mesh=MeshConfig(bucket_rounding=256),
+                           solver=SolverConfig(backend="hybrid"))
+    MeshGenerator.clear_cache()
+    grid = MeshGenerator.generate(geom, 0.4, cfg)
+    modes = TrueVectorialMaxwellSolver(geom, config=cfg) \
+        .solve_vectorial_modes(grid, n_modes_target=2)
+    assert modes, "no guided modes found"
+    m0 = modes[0]
+    assert m0["beta_im"] > 1e-9, f"beta_im={m0['beta_im']:.2e}"
+    r = float(radiation_loss(modes_to_batch([m0]), 1550.0))
+    expected = 2.0 * m0["beta_im"] * 1e6 * 8.685889638
+    assert abs(r - expected) < 1e-6 * max(expected, 1.0), (r, expected)
 
 
 def test_scalar_cascade_filter(fiber):
