@@ -369,7 +369,11 @@ def build_host_vector3_family(dg: DeviceGrid, eps_params,
     if fam is not None:
         return fam
     fam = _build_host_vector3_family(dg, eps_params, alpha_p)
-    _FAMILY_CACHE.clear()      # keep at most one family resident (~100s MB)
+    # LRU of a few families (~100s MB each). One slot thrashed: the
+    # two-grid bootstrap alternates coarse/fine grids every solve, and a
+    # single-entry cache rebuilt one of them per sweep (measured ~7 s).
+    while len(_FAMILY_CACHE) >= 4:
+        _FAMILY_CACHE.pop(next(iter(_FAMILY_CACHE)))
     _FAMILY_CACHE[key] = fam
     return fam
 

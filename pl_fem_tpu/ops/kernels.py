@@ -367,42 +367,97 @@ class QFactorSweep(NamedTuple):
     invJT: jax.Array      # (E, 2, 2) shared
     w: jax.Array          # (E, Q) shared
     inv_eps: jax.Array    # (B, E, Q) per design
+    gp: jax.Array         # (E, Q, 6, 2) physical shape gradients (shared)
 
 
-def _apply_vector3_sweep(qs: QFactorSweep, gs: GatherScatter, mask, park,
-                         betas, alpha, X):
-    """Packed A(beta_b) apply: X (3D, B, k) -> (3D, B, k).
+# Element-einsum precision for the FILTER path only (the Rayleigh-Ritz
+# Gram matmuls always run HIGHEST). HIGHEST = true-f32 passes; HIGH =
+# 3-pass bf16 (~f24, apply error ~1e-5 — still far under the f64-polish
+# recovery threshold); DEFAULT = single bf16 pass (apply error ~1e-2,
+# measured to stall the recurrence — do not use). Overridable for
+# experiments via PL_FEM_FILTER_PRECISION.
+import os as _os
 
-    Every contraction and every elementwise op runs on the FUSED minor
-    axis M = B*k (per-design quantities broadcast through free
-    (..., B, k) views), so the lane dimension stays wide throughout —
-    the layout that makes the packing pay off.
+_FILTER_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("PL_FEM_FILTER_PRECISION", "highest").lower()]
+
+
+# -- fused-lane layout --------------------------------------------------
+#
+# The sweep recurrence runs in layout (D, 3*B*k): components join designs
+# and subspace columns on the LANE axis. Gather cost on TPU is per-ROW
+# (measured constant from k=22 to k=64 lanes), so one (E, 6)-row gather
+# of width 3*B*k replaces the component-major layout's (E, 18)-row
+# gathers — 3x fewer gathered rows in the A apply AND in every mass /
+# B^{-1} apply (which previously looped the gather per component).
+# Layout conversion happens once per pass boundary, never inside the
+# Chebyshev loop.
+
+
+def _fused_from_stacked(X):
+    """(3D, B, k) component-major -> (D, B, 3, k) fused-lane.
+
+    The design axis B sits OUTERMOST in the lane group (B, 3, k): a
+    `designs` mesh-axis sharding of B then propagates through the
+    (D, B*3*k) merge, so the same kernel runs single-chip (full lanes)
+    and multi-chip (lane block per device) with no layout change.
     """
-    hp = jax.lax.Precision.HIGHEST
     CD, B, k = X.shape
-    M = B * k
-    D = mask.shape[0]
-    ed = jnp.concatenate([gs.elem_dofs + c * D for c in range(3)], axis=1)
-    maskC = jnp.tile(mask, 3)[:, None].astype(X.dtype)
-    Xf = X.reshape(CD, M)
-    Xm = Xf * maskC
-    U = Xm[ed]                                    # (E, 18, M)
+    D = CD // 3
+    return jnp.transpose(X.reshape(3, D, B, k), (1, 2, 0, 3))
+
+
+def _stacked_from_fused(Xf):
+    """(D, B, 3, k) fused-lane -> (3D, B, k) component-major."""
+    D, B, C, k = Xf.shape
+    return jnp.transpose(Xf, (2, 0, 1, 3)).reshape(C * D, B, k)
+
+
+def _accumulate_fused(Ye, gs: GatherScatter):
+    """(E, 6, L) element results -> (D, L) DOF sums via split gathers."""
+    E, six, L = Ye.shape
+    flat = Ye.reshape(E * six, L)
+    pv = jnp.where(gs.valid_v[..., None], flat[gs.idx_v], 0.0).sum(axis=1)
+    pe = jnp.where(gs.valid_e[..., None], flat[gs.idx_e], 0.0).sum(axis=1)
+    return jnp.concatenate([pv, pe], axis=0)
+
+
+def _apply_vector3_fused(qs: QFactorSweep, gs: GatherScatter, mask, parks,
+                         betas, alpha, Xf):
+    """Packed A(beta_b) apply in fused-lane layout.
+
+    Xf: (D, B, 3, k) -> (D, B, 3, k). One (E, 6)-row gather/accumulate
+    pair serves all components, designs and columns.
+    """
+    hp = _FILTER_PREC
+    D, B, C, k = Xf.shape
+    L = B * C * k
+    m = mask[:, None].astype(Xf.dtype)
+    Xl = Xf.reshape(D, L)
+    Xm = Xl * m
+    U = Xm[gs.elem_dofs].reshape(-1, 6, B, C, k)     # (E, 6, B, 3, k)
     E = U.shape[0]
-    U = U.reshape(E, 3, 6, M)
 
-    V = jnp.einsum("qi,ecim->ecqm", _N_REF, U, precision=hp)
-    R = jnp.einsum("qid,ecim->ecqdm", _DN_REF, U, precision=hp)
-    G = jnp.einsum("ead,ecqdm->ecqam", qs.invJT, R, precision=hp)
-    Q = V.shape[2]
+    # Physical gradients come from the PRECOMPUTED per-element table
+    # gp (E, Q, 6, 2) — 72 floats/element, streamed once per apply —
+    # instead of chaining reference-gradient and J^{-T} einsums, which
+    # materialized two (E, Q, 3, 2, B*k) intermediates (545 MB each at
+    # bench size; measured ~40% of the apply).
+    gpx = qs.gp[..., 0]                              # (E, Q, 6)
+    gpy = qs.gp[..., 1]
+    V = jnp.einsum("qi,eibxk->eqbxk", _N_REF, U, precision=hp)
+    Gx = jnp.einsum("eqi,eibxk->eqbxk", gpx, U, precision=hp)
+    Gy = jnp.einsum("eqi,eibxk->eqbxk", gpy, U, precision=hp)
+    Q = V.shape[1]
 
-    def bk(A):                                    # (E, Q, M) -> (E, Q, B, k)
-        return A.reshape(E, Q, B, k)
-
-    b = betas[None, None, :, None]
-    c1 = bk(G[:, 2, :, 1]) - b * bk(V[:, 1])      # dy hz - b hy
-    c2 = b * bk(V[:, 0]) - bk(G[:, 2, :, 0])      # b hx - dx hz
-    c3 = bk(G[:, 1, :, 0]) - bk(G[:, 0, :, 1])    # dx hy - dy hx
-    dv = bk(G[:, 0, :, 0]) + bk(G[:, 1, :, 1]) - b * bk(V[:, 2])
+    b = betas[None, None, :, None]                   # over (E, Q, B, k)
+    c1 = Gy[:, :, :, 2] - b * V[:, :, :, 1]          # dy hz - b hy
+    c2 = b * V[:, :, :, 0] - Gx[:, :, :, 2]          # b hx - dx hz
+    c3 = Gx[:, :, :, 1] - Gy[:, :, :, 0]             # dx hy - dy hx
+    dv = Gx[:, :, :, 0] + Gy[:, :, :, 1] - b * V[:, :, :, 2]
 
     we = (qs.w[:, :, None] * jnp.moveaxis(qs.inv_eps, 0, 2))[..., None]
     wa = (qs.w * alpha)[:, :, None, None]
@@ -411,23 +466,60 @@ def _apply_vector3_sweep(qs: QFactorSweep, gs: GatherScatter, mask, park,
     c3h = we * c3
     dvh = wa * dv
 
-    def fl(A):                                    # (E, Q, B, k) -> (E, Q, M)
-        return A.reshape(E, Q, M)
+    S = jnp.stack([b * c2h, -b * c1h, -b * dvh], axis=3)   # (E, Q, B, 3, k)
+    Tx = jnp.stack([dvh, c3h, -c2h], axis=3)
+    Ty = jnp.stack([-c3h, dvh, c1h], axis=3)
 
-    S = jnp.stack([fl(b * c2h), fl(-b * c1h), fl(-b * dvh)],
-                  axis=1)                         # (E, 3, Q, M)
-    Tx = jnp.stack([fl(dvh), fl(c3h), fl(-c2h)], axis=1)
-    Ty = jnp.stack([fl(-c3h), fl(dvh), fl(c1h)], axis=1)
-    T = jnp.stack([Tx, Ty], axis=3)               # (E, 3, Q, 2, M)
+    Y = jnp.einsum("qi,eqbxk->eibxk", _N_REF, S, precision=hp)
+    Y = Y + jnp.einsum("eqi,eqbxk->eibxk", gpx, Tx, precision=hp)
+    Y = Y + jnp.einsum("eqi,eqbxk->eibxk", gpy, Ty, precision=hp)
+    Yd = _accumulate_fused(Y.reshape(E, 6, L), gs) * m
+    pk = jnp.broadcast_to(parks[None, :, None, None], Xf.shape) \
+        .reshape(D, L)
+    return (Yd + pk * (Xl - Xm)).reshape(D, B, C, k)
 
-    Y = jnp.einsum("qi,ecqm->ecim", _N_REF, S, precision=hp)
-    Rt = jnp.einsum("ead,ecqam->ecqdm", qs.invJT, T, precision=hp)
-    Y = Y + jnp.einsum("qid,ecqdm->ecim", _DN_REF, Rt, precision=hp)
-    Ye = Y.reshape(E, 18, M)
-    Yd = _accumulate(Ye, gs, 3) * maskC           # (3D, M)
-    out = Yd.reshape(CD, B, k) \
-        + park[None, :, None] * (Xf - Xm).reshape(CD, B, k)
-    return out
+
+def _apply_mass_fused(qs: QFactorSweep, gs: GatherScatter, mask, Xl,
+                      park: float = 1.0):
+    """Plain-mass apply on fused lanes: (D, L) -> (D, L)."""
+    hp = _FILTER_PREC
+    m = mask[:, None].astype(Xl.dtype)
+    Xm = Xl * m
+    U = Xm[gs.elem_dofs]                          # (E, 6, L)
+    V = jnp.einsum("qi,eim->eqm", _N_REF, U, precision=hp)
+    S = qs.w[..., None] * V
+    Ye = jnp.einsum("qi,eqm->eim", _N_REF, S, precision=hp)
+    Y = _accumulate_fused(Ye, gs)
+    return Y * m + park * (Xl - Xm)
+
+
+def _apply_binv_fused(qs: QFactorSweep, gs: GatherScatter, mask, dinv_sqrt,
+                      lo, hi, Xl, degree: int):
+    """Chebyshev B^{-1} semi-iteration on fused lanes."""
+    ds = dinv_sqrt[:, None].astype(Xl.dtype)
+
+    def scaled(V):
+        return ds * _apply_mass_fused(qs, gs, mask, ds * V)
+
+    theta = 0.5 * (hi + lo)
+    delta = 0.5 * (hi - lo)
+    sigma1 = theta / delta
+    Yh = ds * Xl
+    Z = jnp.zeros_like(Yh)
+    R = Yh
+    Dd = R / theta
+    rho = 1.0 / sigma1
+
+    def body(_, carry):
+        Z, R, Dd, rho = carry
+        Z = Z + Dd
+        R = R - scaled(Dd)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        Dd = rho_new * rho * Dd + (2.0 * rho_new / delta) * R
+        return Z, R, Dd, rho_new
+
+    Z, R, Dd, rho = jax.lax.fori_loop(0, degree, body, (Z, R, Dd, rho))
+    return ds * (Z + Dd)
 
 
 def cheb_rr_pass_sweep_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
@@ -435,49 +527,56 @@ def cheb_rr_pass_sweep_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
                             binv_degree: int = 4, renorm_every: int = 8):
     """Packed sweep filter + per-design Rayleigh-Ritz.
 
-    X: (3D, B, k); parks/betas/cuts/bounds: (B,). Mass/binv are shared
-    (same grid), applied on the (3D, B*k) reshape. Returns per-design
-    (theta (B, k), X (3D, B, k), res (B, k)).
+    X: (3D, B, k); parks/betas/cuts/bounds: (B,). The Chebyshev
+    recurrence runs in the fused-lane layout (see above); mass/binv are
+    shared (same grid). Returns per-design (theta (B, k), X (3D, B, k),
+    res (B, k)).
     """
     CD, B, k = X.shape
-    qfm = QFactor(invJT=qs.invJT, w=qs.w, inv_eps=qs.inv_eps[0])
+    D = CD // 3
 
-    def mass_flat(V):
-        return _apply_mass_qf(qfm, gs, mask, V.reshape(CD, B * k),
-                              3).reshape(CD, B, k)
+    def binv_f(Vf):                               # (D, B, 3, k)
+        Vl = Vf.reshape(D, 3 * B * k)
+        return _apply_binv_fused(qs, gs, mask, dinv_sqrt, lo, hi, Vl,
+                                 binv_degree).reshape(D, B, 3, k)
 
-    def binv_flat(V):
-        return _apply_binv_qf(qfm, gs, mask, dinv_sqrt, lo, hi,
-                              V.reshape(CD, B * k), 3,
-                              binv_degree).reshape(CD, B, k)
+    c = (0.5 * (bounds + cuts)).astype(jnp.float32)[None, :, None, None]
+    h = (0.5 * (bounds - cuts)).astype(jnp.float32)[None, :, None, None]
 
-    c = (0.5 * (bounds + cuts)).astype(jnp.float32)[None, :, None]
-    h = (0.5 * (bounds - cuts)).astype(jnp.float32)[None, :, None]
+    def apply_t(Vf):
+        W = _apply_vector3_fused(qs, gs, mask, parks, betas, alpha, Vf)
+        W = binv_f(W)
+        return (W - c * Vf) / h
 
-    def apply_t(V):
-        W = _apply_vector3_sweep(qs, gs, mask, parks, betas, alpha, V)
-        W = binv_flat(W)
-        return (W - c * V) / h
-
-    T0 = X.astype(jnp.float32)
+    T0 = _fused_from_stacked(X.astype(jnp.float32))
     T1 = apply_t(T0)
 
     def body(i, carry):
         T0, T1 = carry
         T2 = 2.0 * apply_t(T1) - T0
         do = (i % renorm_every) == (renorm_every - 1)
-        s = 1.0 / (jnp.linalg.norm(T2, axis=0, keepdims=True) + 1e-30)
+        s = 1.0 / (jnp.linalg.norm(T2, axis=(0, 2), keepdims=True) + 1e-30)
         s = jnp.where(do, s, jnp.ones_like(s))
         return T1 * s, T2 * s
 
-    _, Xf = jax.lax.fori_loop(1, degree, body, (T0, T1))
+    _, Xff = jax.lax.fori_loop(1, degree, body, (T0, T1))
+    Xf = _stacked_from_fused(Xff)
+
+    def mass_flat(V):
+        Vl = _fused_from_stacked(V).reshape(D, 3 * B * k)
+        out = _apply_mass_fused(qs, gs, mask, Vl)
+        return _stacked_from_fused(out.reshape(D, B, 3, k))
+
+    def _apply_A(V):
+        return _stacked_from_fused(_apply_vector3_fused(
+            qs, gs, mask, parks, betas, alpha, _fused_from_stacked(V)))
 
     # per-design QR (vmapped small-path), packed applies for A/B
     hp = jax.lax.Precision.HIGHEST
     Q = jax.vmap(lambda x: jnp.linalg.qr(x)[0])(
         jnp.moveaxis(Xf, 1, 0))                   # (B, CD, k)
     Qp = jnp.moveaxis(Q, 0, 1)                    # (CD, B, k)
-    AQ = _apply_vector3_sweep(qs, gs, mask, parks, betas, alpha, Qp)
+    AQ = _apply_A(Qp)
     BQ = mass_flat(Qp)
     H = jnp.einsum("dbk,dbl->bkl", Qp, AQ, precision=hp)
     G = jnp.einsum("dbk,dbl->bkl", Qp, BQ, precision=hp)
@@ -515,6 +614,10 @@ def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
                        parks=None, binv_degree: int = 4,
                        n_wanted: int = 0):
     """Adaptive driver for the packed same-grid sweep."""
+    import logging
+    import time
+
+    _log = logging.getLogger("pl_fem_tpu.kernels")
     eff_tol = max(tol, 5e-6)
     dinv_sqrt = (1.0 / jnp.sqrt(jnp.maximum(diag_B, 1e-30))
                  ).astype(jnp.float32)
@@ -529,6 +632,7 @@ def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
     theta = Xr = res = None
     prev = np.inf
     for ip in range(max_passes):
+        t0 = time.perf_counter()
         theta, Xr, res = cheb_rr_pass_sweep(
             qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
             jnp.float32(alpha), X, cuts, bounds, degree=degree,
@@ -541,6 +645,9 @@ def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
             if n_wanted > 0:
                 wanted &= (np.arange(th.shape[1])[None] < n_wanted)
             maxres = rs[wanted].max() if wanted.any() else rs.min()
+            _log.debug("sweep pass %d (deg %d, binv %d): %.2fs "
+                       "maxres=%.2e", ip, degree, binv_degree,
+                       time.perf_counter() - t0, maxres)
             if maxres < eff_tol or maxres > 0.7 * prev:
                 break
             prev = maxres

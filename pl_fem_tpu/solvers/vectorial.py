@@ -116,6 +116,10 @@ class TrueVectorialMaxwellSolver:
     """Vectorial H-field solver (reference seam: solver_fem.py:113-239)."""
 
     METHOD_TAG = "H-field_TPU_v1"
+    #: wall-clock phase breakdown of the most recent solve_sweep call
+    #: (bootstrap / assemble / bounds / host_family / filter / polish /
+    #: postproc) — profiling hook, populated per call.
+    last_sweep_times: Dict[str, float] = {}
 
     def __init__(self, geometry, use_pml: bool = False,
                  config: Optional[SimulationConfig] = None):
@@ -317,6 +321,10 @@ class TrueVectorialMaxwellSolver:
         design's CSR data from a shared linear-coefficient family in a
         few axpys. Returns a list of mode lists, one per geometry.
         """
+        from ..utils import PhaseTimer
+
+        timer = PhaseTimer()
+        cls.last_sweep_times = timer.times   # profiling hook (scratch/)
         cfg = config or SimulationConfig()
         scfg = cfg.solver
         dg = _as_device_grid(grid, cfg)
@@ -343,17 +351,20 @@ class TrueVectorialMaxwellSolver:
         # two-grid bootstrap: coarse solve -> X0 + per-design beta0
         boot = None
         if scfg.bootstrap and n >= scfg.bootstrap_min_dofs:
-            boot = cls._bootstrap_sweep(geometries, dg, n_modes_target, cfg)
+            with timer.phase("bootstrap"):
+                boot = cls._bootstrap_sweep(geometries, dg, n_modes_target,
+                                            cfg)
 
-        ga = grid_to_device(dg, dtype=jnp.float32)
-        gs = gather_scatter(ga)
-        invs, diag = [], None
-        for g in geometries:
-            qf_g, diag = assemble_vector3_qf(
-                ga, eps_arrays(g.eps_params(), dtype=jnp.float32))
-            invs.append(qf_g.inv_eps)
-        qs = QFactorSweep(invJT=qf_g.invJT, w=qf_g.w,
-                          inv_eps=jnp.stack(invs))
+        with timer.phase("assemble"):
+            ga = grid_to_device(dg, dtype=jnp.float32)
+            gs = gather_scatter(ga)
+            invs, diag = [], None
+            for g in geometries:
+                qf_g, diag = assemble_vector3_qf(
+                    ga, eps_arrays(g.eps_params(), dtype=jnp.float32))
+                invs.append(qf_g.inv_eps)
+            qs = QFactorSweep(invJT=qf_g.invJT, w=qf_g.w,
+                              inv_eps=jnp.stack(invs), gp=ga.grad_phys)
 
         betas = np.array([
             g.k0 * lp01_neff_estimate(g.k0, float(np.mean(g.core_radii)),
@@ -378,26 +389,28 @@ class TrueVectorialMaxwellSolver:
         # filter, and a tight bound keeps the damping interval narrow.
         from ..ops.kernels import pencil_bounds_elem
 
-        bounds = np.empty(B)
-        for bix, g in enumerate(geometries):
-            prim, _, _ = assemble_vector3_system(
-                ga, eps_arrays(g.eps_params(), dtype=jnp.float32))
-            big0 = vector3_stacked_A(prim, jnp.float32(betas[bix]),
-                                     jnp.float32(scfg.alpha_penalty))
-            _, _, bound = pencil_bounds_elem(big0, prim["u_nn"],
-                                             ga.elem_valid, C=3)
-            # 1.1x margin covers the beta drift across beta passes
-            bounds[bix] = float(bound) * 1.1
-        del big0, prim
+        with timer.phase("bounds"):
+            bounds = np.empty(B)
+            for bix, g in enumerate(geometries):
+                prim, _, _ = assemble_vector3_system(
+                    ga, eps_arrays(g.eps_params(), dtype=jnp.float32))
+                big0 = vector3_stacked_A(prim, jnp.float32(betas[bix]),
+                                         jnp.float32(scfg.alpha_penalty))
+                _, _, bound = pencil_bounds_elem(big0, prim["u_nn"],
+                                                 ga.elem_valid, C=3)
+                # 1.1x margin covers the beta drift across beta passes
+                bounds[bix] = float(bound) * 1.1
+            del big0, prim
 
-        if B == 1:
-            # one-off single design: skip the 3x-cost family precompute
-            hv_single = build_host_vector3(dg, g0.eps_params(),
-                                           scfg.alpha_penalty)
-            family = None
-        else:
-            family = build_host_vector3_family(dg, g0.eps_params(),
+        with timer.phase("host_family"):
+            if B == 1:
+                # one-off single design: skip the 3x-cost family precompute
+                hv_single = build_host_vector3(dg, g0.eps_params(),
                                                scfg.alpha_penalty)
+                family = None
+            else:
+                family = build_host_vector3_family(dg, g0.eps_params(),
+                                                   scfg.alpha_penalty)
         mask3 = np.tile(dg.interior_mask[:n], 3).astype(np.float64)
         k = min(n_modes_target + scfg.extra_vectors, n)
         if boot is not None:
@@ -416,12 +429,19 @@ class TrueVectorialMaxwellSolver:
             # near-cut junk lanes converge slowest and would otherwise
             # burn whole extra filter passes
             n_gate = min(k, n_modes_target + 4)
-            theta, Xr, res = solve_lowest_sweep(
-                qs, gs, ga.interior_mask, diag, X, cuts, betas,
-                scfg.alpha_penalty, bounds, degree=scfg.cheb_degree,
-                passes=cheb_passes_eff, tol=scfg.scalar_tol,
-                parks=parks, n_wanted=n_gate, binv_degree=scfg.binv_degree)
-            Xh_all = np.asarray(Xr, dtype=np.float64)
+            # Bootstrapped subspaces plateau after ONE pass (measured:
+            # pass 1 at deg 300 left maxres at ~3.6e-3 and a second pass
+            # made it *worse*), so cap the adaptive driver instead of
+            # paying a full extra pass for its stall detector to notice.
+            mp = cheb_passes_eff if boot is not None else 8
+            with timer.phase("filter"):
+                theta, Xr, res = solve_lowest_sweep(
+                    qs, gs, ga.interior_mask, diag, X, cuts, betas,
+                    scfg.alpha_penalty, bounds, degree=scfg.cheb_degree,
+                    passes=cheb_passes_eff, tol=scfg.scalar_tol,
+                    parks=parks, n_wanted=n_gate, max_passes=mp,
+                    binv_degree=scfg.binv_degree)
+                Xh_all = np.asarray(Xr, dtype=np.float64)
             beta_new = betas.copy()
             for bix, g in enumerate(geometries):
                 Xh = Xh_all[:, bix, :]
@@ -432,10 +452,11 @@ class TrueVectorialMaxwellSolver:
                     np.concatenate([pooled[bix], Xh], axis=1)
                 hv = hv_single if family is None else \
                     family.instantiate(g.n_core**2, g.n_clad**2)
-                bts, H, _, qres = quadratic_subspace(
-                    hv, pooled[bix], g.k0,
-                    g.k0 * g.n_clad * (1 + 1e-9), g.k0 * g.n_core * 1.01,
-                    mask=mask3)
+                with timer.phase("polish"):
+                    bts, H, _, qres = quadratic_subspace(
+                        hv, pooled[bix], g.k0,
+                        g.k0 * g.n_clad * (1 + 1e-9), g.k0 * g.n_core * 1.01,
+                        mask=mask3)
                 if len(bts) > k:
                     # The companion linearization of the pooled subspace
                     # can return up to 2m in-window roots; keep the k
@@ -448,8 +469,9 @@ class TrueVectorialMaxwellSolver:
                     beta_new[bix] = float(np.median(bts))
                     hx, hy, hz = H[:n], H[n:2 * n], H[2 * n:]
                     solver = cls(g, config=cfg)
-                    results[bix] = solver._postprocess(
-                        hv, dg, bts, hx, hy, hz, n_modes_target)
+                    with timer.phase("postproc"):
+                        results[bix] = solver._postprocess(
+                            hv, dg, bts, hx, hy, hz, n_modes_target)
             if ip + 1 < beta_passes_eff and \
                     np.abs(beta_new - betas).max() > 1e-6:
                 betas = beta_new
@@ -459,6 +481,10 @@ class TrueVectorialMaxwellSolver:
                 X = Xr
             else:
                 break
+        # the bootstrap's nested solve_sweep re-binds the hook; restore
+        # this (outermost) call's breakdown before returning
+        cls.last_sweep_times = timer.times
+        logger.debug("sweep B=%d n=%d: %s", B, n, timer.summary())
         return results
 
     # -- shared post-processing (solver_fem.py:199-239), host f64 -------

@@ -27,7 +27,7 @@ for g in geoms:
                                                     dtype=jnp.float32))
     invs.append(qf_g.inv_eps)
 qs = kernels.QFactorSweep(invJT=qf_g.invJT, w=qf_g.w,
-                          inv_eps=jnp.stack(invs))
+                          inv_eps=jnp.stack(invs), gp=ga.grad_phys)
 betas = np.array([g.k0 * lp01_neff_estimate(g.k0, 1.5, g.n_core, g.n_clad)
                   for g in geoms], dtype=np.float32)
 cuts = np.array([min(b**2, 1.35 * g.k0**2)

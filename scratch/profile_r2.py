@@ -68,7 +68,8 @@ for g in geoms:
     qf_g, diag = assemble_vector3_qf(ga, eps_arrays(g.eps_params(),
                                                     dtype=jnp.float32))
     invs.append(qf_g.inv_eps)
-qs = QFactorSweep(invJT=qf_g.invJT, w=qf_g.w, inv_eps=jnp.stack(invs))
+qs = QFactorSweep(invJT=qf_g.invJT, w=qf_g.w, inv_eps=jnp.stack(invs),
+                  gp=ga.grad_phys)
 jax.block_until_ready(qs.inv_eps)
 t("device assembly (qf)")
 
