@@ -50,6 +50,12 @@ def main(argv=None):
                         help="IP-Dip Cauchy dispersion n(lambda)")
     parser.add_argument("--cmt-slices", type=int, default=0,
                         help=">=2 enables CMT over that many taper slices")
+    parser.add_argument("--engine", choices=("serial", "sweep"),
+                        default="sweep",
+                        help="'sweep' batches designs through canonical-"
+                             "grid packed sweeps (TPU-native scale-out); "
+                             "'serial' is the reference-style per-design "
+                             "loop. Scalar runs always use serial.")
     parser.add_argument("--quality-threshold", type=float, default=0.35)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--mesh-min-points", type=int, default=None)
@@ -88,7 +94,8 @@ def main(argv=None):
     )
     records = gen.generate(args.n,
                            quality_threshold=args.quality_threshold,
-                           resume=not args.no_resume)
+                           resume=not args.no_resume,
+                           engine=args.engine)
 
     n_ok = sum(1 for r in records if r.success)
     logger.info("done: %d/%d successful", n_ok, len(records))

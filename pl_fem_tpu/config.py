@@ -75,6 +75,14 @@ class SimulationConfig:
     use_cauchy_dispersion: bool = False
     wavelength_nm: float = 1550.0
 
+    # CMT taper sampling: the narrowest cross-section solved is
+    # geometry * cmt_min_scale (full collapse is unmeshable and the
+    # modes below ~0.35 scale are cladding-guided; reference analog:
+    # the implicit clamp in its taper sampling). The z -> scale map
+    # follows the sampled taper_profile (models/geometry.py
+    # ``taper_profile_fraction``).
+    cmt_min_scale: float = 0.35
+
     def derived_mesh(self) -> MeshConfig:
         return dataclasses.replace(
             self.mesh,

@@ -1,4 +1,12 @@
 """Dataset generation: parametric space, samplers, records, orchestrator."""
+from .bucketing import (
+    bucket_key,
+    canonical_scale,
+    canonicalize,
+    class_geometry,
+    group_by_bucket,
+    rescale_modes,
+)
 from .generator import DatasetGenerator
 from .parametric_space import (
     ParametricSpace,
@@ -16,4 +24,10 @@ __all__ = [
     "AdaptiveSampler",
     "DatasetRecord",
     "DatasetGenerator",
+    "bucket_key",
+    "canonical_scale",
+    "canonicalize",
+    "class_geometry",
+    "group_by_bucket",
+    "rescale_modes",
 ]

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..config import SimulationConfig
 from ..materials import IPDipCauchy
-from ..models import MCFGeometry
+from ..models import MCFGeometry, taper_profile_fraction
 from ..ops.femgrid import MeshGenerator, export_device_grid
 from ..physics import LossCalculator
 from ..physics.cmt import CoupledModeTheory
@@ -102,9 +102,8 @@ class DatasetGenerator:
         )
 
     # ------------------------------------------------------------------
-    def simulate_sample(self, sample: Dict) -> DatasetRecord:
-        """Full pipeline for one design; never raises (skip-and-record)."""
-        rec = DatasetRecord(
+    def _init_record(self, sample: Dict) -> DatasetRecord:
+        return DatasetRecord(
             sample_id=str(sample.get("sample_id", "S?")),
             n_cores=int(sample.get("n_cores", 0)),
             core_radius_um=float(sample.get("core_radius_um", 0.0)),
@@ -115,43 +114,109 @@ class DatasetGenerator:
             taper_length_mm=float(sample.get("taper_length_mm", 0.375)),
             taper_profile=str(sample.get("taper_profile", "exponential")),
         )
+
+    def _validate(self, rec: DatasetRecord, sample: Dict):
+        """Geometry + physics gates; returns (geom, pmetrics) or None."""
+        geom = self.build_geometry(sample)
+        ok, msg = geom.validate()
+        rec.success_geometry = ok
+        if not ok:
+            rec.error_msg = f"geometry: {msg}"
+            return None
+        rec.config_type = geom.config_type
+        rec.geometry_config = f"{geom.n_cores}-{geom.config_type}"
+        rec.n_peripheral_cores = geom.n_peripheral
+        rec.R_ring = float(geom.R_ring)
+        rec.packing_efficiency = float(geom.packing_efficiency)
+        rec.n_core = geom.n_core
+        rec.n_clad = geom.n_clad
+        rec.delta_n = geom.delta_n
+        rec.n_polymer = geom.n_core
+        rec.V_number = float(geom.V_number)
+
+        okp, msgp, pmetrics = self.validator.validate_sample_physics({
+            **sample, "n_core": geom.n_core, "n_clad": geom.n_clad})
+        rec.success_physics = okp
+        if not okp:
+            rec.error_msg = f"physics: {msgp}"
+            return None
+        rec.NA_SM = pmetrics.get("NA")
+        rec.V_SM = pmetrics.get("V_number")
+        rec.r_core_SM = geom.r_core
+        rec.n_core_SM = geom.n_core
+        rec.n_clad_SM = geom.n_clad
+        rec.M_max = pmetrics.get("n_modes_est")
+        return geom, pmetrics
+
+    def _n_modes_target(self, geom) -> int:
+        return self.config.n_modes_target or math.ceil(2.8 * geom.n_cores)
+
+    def _postsolve(self, rec: DatasetRecord, sample: Dict, geom,
+                   modes: List[Dict], pmetrics: Dict, timer) -> None:
+        """Mode stats -> losses -> CMT -> quality (steps 3b-6)."""
+        wl_nm = rec.wavelength_nm
+        rec.success_solver = len(modes) > 0
+        if not modes:
+            rec.error_msg = "solver: no guided modes"
+            return
+        rec.n_modes_found = len(modes)
+        ne = [m["n_eff"] for m in modes]
+        confs = [m["confinement"] for m in modes]
+        rec.n_eff_max = float(max(ne))
+        rec.n_eff_min = float(min(ne))
+        rec.n_eff_mean = float(np.mean(ne))
+        rec.n_eff_LP01 = rec.n_eff_max
+        rec.confinement_max = float(max(confs))
+        rec.confinement_min = float(min(confs))
+        rec.avg_confinement = float(np.mean(confs))
+
+        # 4. losses mux + demux
+        with timer.phase("losses"):
+            mux = LossCalculator.calculate_physical_losses(
+                modes, geom, "mux", wl_nm)
+            demux = LossCalculator.calculate_physical_losses(
+                modes, geom, "demux", wl_nm)
+        rec.success_losses = bool(mux.get("success")
+                                  and demux.get("success"))
+        if mux.get("success"):
+            rec.losses_mux = mux
+            rec.IL_phys_mux_dB = mux["IL_dB"]
+            rec.MDL_phys_mux_dB = mux["MDL_dB"]
+            rec.PDL_mux_dB = mux["PDL_dB"]
+            rec.crosstalk_mux_dB = mux["crosstalk_dB"]
+            rec.radiation_mux_dB_m = mux["radiation_loss_dB_per_m"]
+        if demux.get("success"):
+            rec.losses_demux = demux
+            rec.IL_phys_demux_dB = demux["IL_dB"]
+            rec.MDL_phys_demux_dB = demux["MDL_dB"]
+            rec.PDL_demux_dB = demux["PDL_dB"]
+            rec.crosstalk_demux_dB = demux["crosstalk_dB"]
+            rec.radiation_demux_dB_m = demux["radiation_loss_dB_per_m"]
+
+        # 5. CMT over taper slices (optional, the expensive product)
+        if self.n_taper_slices >= 2 and geom.taper_length:
+            with timer.phase("cmt"):
+                self._run_cmt(rec, geom, modes, wl_nm)
+
+        # 6. quality + performance
+        rec.quality_score = self.scorer.score_sample(sample, pmetrics)
+        rec.performance_index = rec.calculate_performance_index()
+        rec.coupling_uniformity = 0.95
+        rec.success = (rec.success_geometry and rec.success_physics
+                       and rec.success_solver and rec.success_losses)
+
+    def simulate_sample(self, sample: Dict) -> DatasetRecord:
+        """Full pipeline for one design; never raises (skip-and-record)."""
         from ..utils import PhaseTimer
 
+        rec = self._init_record(sample)
         timer = PhaseTimer()
         t0 = time.time()
-        wl_nm = rec.wavelength_nm
         try:
-            # 1. geometry
-            geom = self.build_geometry(sample)
-            ok, msg = geom.validate()
-            rec.success_geometry = ok
-            if not ok:
-                rec.error_msg = f"geometry: {msg}"
+            prepared = self._validate(rec, sample)
+            if prepared is None:
                 return rec
-            rec.config_type = geom.config_type
-            rec.geometry_config = f"{geom.n_cores}-{geom.config_type}"
-            rec.n_peripheral_cores = geom.n_peripheral
-            rec.R_ring = float(geom.R_ring)
-            rec.packing_efficiency = float(geom.packing_efficiency)
-            rec.n_core = geom.n_core
-            rec.n_clad = geom.n_clad
-            rec.delta_n = geom.delta_n
-            rec.n_polymer = geom.n_core
-            rec.V_number = float(geom.V_number)
-
-            # 2. physics gates
-            okp, msgp, pmetrics = self.validator.validate_sample_physics({
-                **sample, "n_core": geom.n_core, "n_clad": geom.n_clad})
-            rec.success_physics = okp
-            if not okp:
-                rec.error_msg = f"physics: {msgp}"
-                return rec
-            rec.NA_SM = pmetrics.get("NA")
-            rec.V_SM = pmetrics.get("V_number")
-            rec.r_core_SM = geom.r_core
-            rec.n_core_SM = geom.n_core
-            rec.n_clad_SM = geom.n_clad
-            rec.M_max = pmetrics.get("n_modes_est")
+            geom, pmetrics = prepared
 
             # 3. mesh + solve
             with timer.phase("mesh"):
@@ -162,8 +227,7 @@ class DatasetGenerator:
             rec.n_dofs = grid.n_dofs
             dg = export_device_grid(grid, self.config.mesh.bucket_rounding)
 
-            n_target = self.config.n_modes_target or \
-                math.ceil(2.8 * geom.n_cores)
+            n_target = self._n_modes_target(geom)
             with timer.phase("solve"):
                 if self.use_vectorial:
                     solver = TrueVectorialMaxwellSolver(geom,
@@ -174,55 +238,7 @@ class DatasetGenerator:
                     # cascade (main.py:258-288)
                     modes = ScalarHelmholtzSolver(geom, self.config).solve(
                         dg, n_target, mode_filter="cascade")
-            rec.success_solver = len(modes) > 0
-            if not modes:
-                rec.error_msg = "solver: no guided modes"
-                return rec
-            rec.n_modes_found = len(modes)
-            ne = [m["n_eff"] for m in modes]
-            confs = [m["confinement"] for m in modes]
-            rec.n_eff_max = float(max(ne))
-            rec.n_eff_min = float(min(ne))
-            rec.n_eff_mean = float(np.mean(ne))
-            rec.n_eff_LP01 = rec.n_eff_max
-            rec.confinement_max = float(max(confs))
-            rec.confinement_min = float(min(confs))
-            rec.avg_confinement = float(np.mean(confs))
-
-            # 4. losses mux + demux
-            with timer.phase("losses"):
-                mux = LossCalculator.calculate_physical_losses(
-                    modes, geom, "mux", wl_nm)
-                demux = LossCalculator.calculate_physical_losses(
-                    modes, geom, "demux", wl_nm)
-            rec.success_losses = bool(mux.get("success")
-                                      and demux.get("success"))
-            if mux.get("success"):
-                rec.losses_mux = mux
-                rec.IL_phys_mux_dB = mux["IL_dB"]
-                rec.MDL_phys_mux_dB = mux["MDL_dB"]
-                rec.PDL_mux_dB = mux["PDL_dB"]
-                rec.crosstalk_mux_dB = mux["crosstalk_dB"]
-                rec.radiation_mux_dB_m = mux["radiation_loss_dB_per_m"]
-            if demux.get("success"):
-                rec.losses_demux = demux
-                rec.IL_phys_demux_dB = demux["IL_dB"]
-                rec.MDL_phys_demux_dB = demux["MDL_dB"]
-                rec.PDL_demux_dB = demux["PDL_dB"]
-                rec.crosstalk_demux_dB = demux["crosstalk_dB"]
-                rec.radiation_demux_dB_m = demux["radiation_loss_dB_per_m"]
-
-            # 5. CMT over taper slices (optional, the expensive product)
-            if self.n_taper_slices >= 2 and geom.taper_length:
-                with timer.phase("cmt"):
-                    self._run_cmt(rec, geom, modes, wl_nm)
-
-            # 6. quality + performance
-            rec.quality_score = self.scorer.score_sample(sample, pmetrics)
-            rec.performance_index = rec.calculate_performance_index()
-            rec.coupling_uniformity = 0.95
-            rec.success = (rec.success_geometry and rec.success_physics
-                           and rec.success_solver and rec.success_losses)
+            self._postsolve(rec, sample, geom, modes, pmetrics, timer)
             return rec
         except Exception as e:   # skip-and-record (main.py:384-386)
             logger.warning("sample %s failed: %s", rec.sample_id, e)
@@ -234,41 +250,163 @@ class DatasetGenerator:
                 logger.debug("%s phases: %s", rec.sample_id, timer.summary())
 
     # ------------------------------------------------------------------
+    def simulate_bucketed(self, samples: Sequence[Dict]
+                          ) -> List[DatasetRecord]:
+        """Solve many designs as canonical-grid packed sweeps.
+
+        Designs are rescaled into canonical buckets (dataset/bucketing
+        .py: same layout + radius/pitch class -> one shared mesh), each
+        bucket solved as ONE ``solve_sweep`` call, then every record
+        finishes with its own physical-frame losses/CMT. Vectorial
+        only; replaces the reference's strictly serial per-design loop
+        (/root/reference/main.py:343-386) as the TPU-native scale-out.
+        """
+        from ..utils import PhaseTimer
+        from .bucketing import (bucket_key, canonicalize, class_geometry,
+                                group_by_bucket, rescale_modes)
+
+        recs = [self._init_record(s) for s in samples]
+        t_start = {i: time.time() for i in range(len(samples))}
+        prepared = []          # (index, sample, geom, pmetrics)
+        for i, (rec, sample) in enumerate(zip(recs, samples)):
+            try:
+                out = self._validate(rec, sample)
+                if out is not None:
+                    prepared.append((i, sample, out[0], out[1]))
+                else:
+                    rec.solver_time_s = time.time() - t_start[i]
+            except Exception as e:
+                logger.warning("sample %s failed: %s", rec.sample_id, e)
+                rec.error_msg = str(e)
+                rec.solver_time_s = time.time() - t_start[i]
+
+        groups = group_by_bucket([p[2] for p in prepared])
+        logger.info("bucketed run: %d samples -> %d buckets",
+                    len(prepared), len(groups))
+        for key, rows in groups.items():
+            members = [prepared[j] for j in rows]
+            t_bucket = time.time()
+            try:
+                cls_geom = class_geometry(key, members[0][2])
+                grid = MeshGenerator.generate(
+                    cls_geom, self.config.mesh.refinement, self.config)
+                dg = export_device_grid(grid,
+                                        self.config.mesh.bucket_rounding)
+                pairs = [canonicalize(g, cls_geom) for (_, _, g, _)
+                         in members]
+                n_target = self._n_modes_target(members[0][2])
+                sweep = TrueVectorialMaxwellSolver.solve_sweep(
+                    [c for c, _ in pairs], dg, n_target, self.config)
+            except Exception as e:
+                logger.warning("bucket %s failed: %s", key, e)
+                for (i, _, _, _) in members:
+                    recs[i].error_msg = f"bucket solve: {e}"
+                    recs[i].solver_time_s = time.time() - t_bucket
+                continue
+            per_member = (time.time() - t_bucket) / max(len(members), 1)
+            for (i, sample, geom, pm), (_, s), modes in zip(members, pairs,
+                                                            sweep):
+                rec = recs[i]
+                rec.mesh_points = grid.n_points
+                rec.mesh_elements = grid.n_elems
+                rec.n_dofs = grid.n_dofs
+                timer = PhaseTimer()
+                try:
+                    modes = rescale_modes(modes, s, geom.k0)
+                    self._postsolve(rec, sample, geom, modes, pm, timer)
+                except Exception as e:
+                    logger.warning("sample %s failed: %s",
+                                   rec.sample_id, e)
+                    rec.error_msg = str(e)
+                rec.solver_time_s = per_member + timer.total
+        return recs
+
+    # ------------------------------------------------------------------
+    def _taper_scales(self, rec: DatasetRecord, zs: np.ndarray,
+                      L: float) -> np.ndarray:
+        """Cross-section scale factor along z for the SAMPLED profile.
+
+        scale(z) = 1 - (1 - cmt_min_scale) * p(z/L) with p the sampled
+        ``taper_profile`` shape (models/geometry.py
+        ``taper_profile_fraction``; reference intent:
+        geometry_unified.py:468-480) — the profile column is physical:
+        it moves the solved cross-sections, hence coupling and IL_CMT.
+        The configured ``cmt_min_scale`` floor replaces the old
+        hard-coded 0.35 (full collapse is unmeshable).
+        """
+        ms = float(self.config.cmt_min_scale)
+        return np.array([1.0 - (1.0 - ms) * taper_profile_fraction(
+            rec.taper_profile, z / L) for z in zs])
+
     def _run_cmt(self, rec: DatasetRecord, geom: MCFGeometry,
                  modes: List[Dict], wl_nm: float):
-        """Re-solve at taper slices and propagate (config.py:57-122)."""
+        """Solve local modes along the taper and propagate (CMT).
+
+        Vectorial path: every z-slice of a taper is a uniform rescale
+        of the same cross-section, so ALL slices canonicalize onto one
+        bucket grid (dataset/bucketing.py) and solve as a single packed
+        sweep — one mesh + one filter call instead of a re-mesh +
+        re-solve per slice, and the CMT overlap integrals get a common
+        P2 basis (the reference re-meshes per z and compares fields
+        across incompatible meshes; geometry_unified.py:367-386).
+        """
+        from .bucketing import (bucket_key, canonicalize, class_geometry,
+                                rescale_modes)
+
         L = float(geom.taper_length)
         zs = np.linspace(0.0, L, self.n_taper_slices)
         n_modes = len(modes)
+        scales_z = self._taper_scales(rec, zs, L)
+        geos_z = [geom.get_tapered(sc * L) for sc in scales_z]
+
         modes_list = []
-        for z in zs:
-            gz = geom.get_tapered(L - z * (1 - 0.35))  # avoid full collapse
-            grid_z = MeshGenerator.generate(gz, self.config.mesh.refinement,
-                                            self.config)
-            dg_z = export_device_grid(grid_z,
+        if self.use_vectorial:
+            cls_geom = class_geometry(bucket_key(geom), geom)
+            grid_t = MeshGenerator.generate(
+                cls_geom, self.config.mesh.refinement, self.config)
+            dg_t = export_device_grid(grid_t,
                                       self.config.mesh.bucket_rounding)
-            if self.use_vectorial:
-                mz = TrueVectorialMaxwellSolver(gz, config=self.config) \
-                    .solve_vectorial_modes(dg_z, n_modes)
+            pairs = [canonicalize(gz, cls_geom) for gz in geos_z]
+            sweeps = TrueVectorialMaxwellSolver.solve_sweep(
+                [c for c, _ in pairs], dg_t, n_modes, self.config)
+            for z, gz, (_, s), mz in zip(zs, geos_z, pairs, sweeps):
+                mz = rescale_modes(mz, s, gz.k0)
                 for m in mz:
                     m["field_vector"] = m["Ex_dofs"]
-            else:
+                modes_list.append(mz)
+        else:
+            for z, gz in zip(zs, geos_z):
+                grid_z = MeshGenerator.generate(
+                    gz, self.config.mesh.refinement, self.config)
+                dg_z = export_device_grid(grid_z,
+                                          self.config.mesh.bucket_rounding)
                 mz = ScalarHelmholtzSolver(gz, self.config).solve(
                     dg_z, n_modes)
-            if len(mz) < n_modes:
-                rec.warnings.append(f"CMT slice z={z:.0f}: "
-                                    f"{len(mz)}/{n_modes} modes")
-                return
-            modes_list.append(mz[:n_modes])
+                modes_list.append(mz)
 
-        # pad fields to a common length across slices (meshes differ)
-        dmax = max(len(m["field_vector"]) for ml in modes_list for m in ml)
-        for ml in modes_list:
-            for m in ml:
-                v = np.asarray(m["field_vector"])
-                if len(v) < dmax:
-                    m["field_vector"] = np.concatenate(
-                        [v, np.zeros(dmax - len(v))])
+            # pad fields to a common length (scalar slices re-mesh)
+            dmax = max(len(m["field_vector"])
+                       for ml in modes_list for m in ml)
+            for ml in modes_list:
+                for m in ml:
+                    v = np.asarray(m["field_vector"])
+                    if len(v) < dmax:
+                        m["field_vector"] = np.concatenate(
+                            [v, np.zeros(dmax - len(v))])
+
+        # Near the taper waist, higher-order modes cross cutoff and drop
+        # out of the guided set — that is physics, not failure. Propagate
+        # the surviving common subset (slices are sorted by n_eff, so a
+        # common-count truncation keeps the most-guided modes).
+        n_common = min((len(ml) for ml in modes_list), default=0)
+        if n_common < 1:
+            rec.warnings.append("CMT: a taper slice has no guided modes")
+            return
+        if n_common < n_modes:
+            rec.warnings.append(f"CMT: truncated to {n_common}/{n_modes} "
+                                "modes (waist cutoff)")
+            n_modes = n_common
+        modes_list = [ml[:n_modes] for ml in modes_list]
 
         omega = 2.0 * np.pi * C_LIGHT / (wl_nm * 1e-9)
         cmt = CoupledModeTheory(omega)
@@ -292,8 +430,16 @@ class DatasetGenerator:
     def generate(self, n_samples: int, quality_threshold: float = 0.35,
                  diversity_filter: bool = True,
                  checkpoint_every: int = 10,
-                 resume: bool = True) -> List[DatasetRecord]:
-        """Sample the space and simulate, with incremental checkpoints."""
+                 resume: bool = True,
+                 engine: str = "serial") -> List[DatasetRecord]:
+        """Sample the space and simulate, with incremental checkpoints.
+
+        ``engine='sweep'`` batches designs through canonical-grid
+        packed sweeps (:meth:`simulate_bucketed`) instead of the
+        reference-style serial per-design loop — same records (solver
+        tolerance apart), shared meshes/compiles/filters. Vectorial
+        only (scalar runs fall back to serial).
+        """
         samples = self.sampler.generate_stratified_samples(
             n_samples, quality_threshold=quality_threshold,
             ensure_diversity=diversity_filter)
@@ -312,23 +458,35 @@ class DatasetGenerator:
             if done_ids:
                 logger.info("resume: %d records already done", len(done_ids))
 
-        buffer: List[str] = []
-        for i, sample in enumerate(samples, 1):
-            if sample.get("sample_id") in done_ids:
-                continue
-            rec = self.simulate_sample(sample)
-            records.append(rec)
-            logger.info("[%d/%d] %s: success=%s (%.1fs)", i, len(samples),
-                        rec.sample_id, rec.success, rec.solver_time_s)
-            if ckpt is not None:
-                buffer.append(json.dumps(rec.to_dict()))
+        pending = [s for s in samples
+                   if s.get("sample_id") not in done_ids]
+
+        def checkpoint(batch: List[DatasetRecord]):
+            if ckpt is not None and batch:
+                with open(ckpt, "a") as f:
+                    f.write("\n".join(json.dumps(r.to_dict())
+                                      for r in batch) + "\n")
+
+        if engine == "sweep" and self.use_vectorial:
+            done = self.simulate_bucketed(pending)
+            records.extend(done)
+            for i in range(0, len(done), max(checkpoint_every, 1)):
+                checkpoint(done[i:i + max(checkpoint_every, 1)])
+            n_ok = sum(1 for r in done if r.success)
+            logger.info("sweep engine: %d/%d successful", n_ok, len(done))
+        else:
+            buffer: List[DatasetRecord] = []
+            for i, sample in enumerate(pending, 1):
+                rec = self.simulate_sample(sample)
+                records.append(rec)
+                logger.info("[%d/%d] %s: success=%s (%.1fs)", i,
+                            len(pending), rec.sample_id, rec.success,
+                            rec.solver_time_s)
+                buffer.append(rec)
                 if len(buffer) >= checkpoint_every:
-                    with open(ckpt, "a") as f:
-                        f.write("\n".join(buffer) + "\n")
+                    checkpoint(buffer)
                     buffer.clear()
-        if ckpt is not None and buffer:
-            with open(ckpt, "a") as f:
-                f.write("\n".join(buffer) + "\n")
+            checkpoint(buffer)
 
         if self.out_dir is not None:
             self.write_csv(records, self.out_dir / "dataset_raw.csv")

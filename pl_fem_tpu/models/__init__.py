@@ -15,6 +15,7 @@ from .geometry import (
     PhotonicLantern,
     PhotonicLanternGeometry,
     TaperSection,
+    taper_profile_fraction,
     epsilon_at,
 )
 
@@ -24,4 +25,5 @@ __all__ = [
     "get_n_cores_options", "get_sampling_weights", "layout_info",
     "EpsParams", "MCFGeometry", "MMFGeometry", "PhotonicLantern",
     "PhotonicLanternGeometry", "TaperSection", "epsilon_at",
+    "taper_profile_fraction",
 ]

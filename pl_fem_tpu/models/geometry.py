@@ -94,6 +94,11 @@ class MCFGeometry:
         (self.positions, self.config_type, self.has_central_core,
          self.n_peripheral, self.R_ring) = layouts.generate_core_positions(
             n_cores, pitch_um, variant)
+        # constructor pitch parameter: positions are linear in it, but
+        # the MEASURED nearest-neighbour `pitch` below differs for the
+        # pure-ring layouts (N=3: sqrt(3)x, N=5: 1.18x) — rescaling a
+        # geometry (tapers, canonical bucketing) must reuse THIS value
+        self.pitch_param = float(pitch_um)
         self.core_radii = np.full(self.n_cores, float(core_radius_um))
         self.core_positions = self.positions   # mesh-layer alias
         self.r_core = float(core_radius_um)    # CLI-layer alias
@@ -195,7 +200,8 @@ class MCFGeometry:
         s = float(np.clip(z / self.taper_length, 0.0, 1.0))
         return MCFGeometry(
             n_cores=self.n_cores,
-            pitch_um=self.pitch * s if self.n_cores > 1 else max(self.pitch, 1.0),
+            pitch_um=(self.pitch_param * s if self.n_cores > 1
+                      else max(self.pitch_param, 1.0)),
             core_radius_um=self.r_core * s,
             n_core=self.n_core,
             n_clad=self.n_clad,
@@ -236,6 +242,26 @@ class MCFGeometry:
         return (f"MCFGeometry(N={self.n_cores}, {self.config_type}, "
                 f"pitch={self.pitch:.1f}um, r={self.r_core:.2f}um, "
                 f"V={self.V_number:.2f}, n={self.n_core:.4f}/{self.n_clad:.4f})")
+
+
+def taper_profile_fraction(profile: str, t: float,
+                           exponent: float = 1.0) -> float:
+    """Normalized taper profile p(t): [0, 1] -> [0, 1], p(0)=0, p(1)=1.
+
+    The four profile shapes of the reference's TaperSection
+    (geometry_unified.py:468-480); shared by ``TaperSection.scale_at``
+    and the CMT z-slice placement in the dataset generator (which maps
+    a sampled ``taper_profile`` to the cross-section scale along z —
+    the column is physical, not just recorded).
+    """
+    t = float(np.clip(t, 0.0, 1.0))
+    if profile == "power":
+        return float(t ** exponent)
+    if profile == "sinusoidal":
+        return float(0.5 * (1.0 - np.cos(np.pi * t)))
+    if profile == "exponential":
+        return float((np.exp(t) - 1.0) / (np.e - 1.0))
+    return t  # linear
 
 
 @dataclasses.dataclass
@@ -283,14 +309,8 @@ class TaperSection:
         L = self.total_length_um
         if L <= 0:
             return 1.0
-        t = float(np.clip(z_um / L, 0.0, 1.0))
-        if self.profile == "power":
-            return float(t ** self.exponent)
-        if self.profile == "sinusoidal":
-            return float(0.5 * (1.0 - np.cos(np.pi * t)))
-        if self.profile == "exponential":
-            return float((np.exp(t) - 1.0) / (np.e - 1.0))
-        return t  # linear
+        return taper_profile_fraction(self.profile, z_um / L,
+                                      self.exponent)
 
     @classmethod
     def from_mcf(cls, mcf: MCFGeometry, total_length_mm: float,

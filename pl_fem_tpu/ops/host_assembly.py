@@ -325,6 +325,13 @@ class HostVector3Family:
 
     Instantiating a design is three axpys over the shared pattern —
     ~50 ms instead of a full numpy re-assembly per sweep member.
+
+    Members whose core positions/radii differ from the family's base
+    layout (canonical-grid bucket sweeps, dataset/bucketing.py) pass
+    their ``eps_params``: the in-core indicator then differs from the
+    base on a thin interface annulus only, and ``instantiate`` adds a
+    correction assembled over just the elements whose quadrature mask
+    changed — exact member operators at a few percent of a rebuild.
     """
 
     pat: SharedCSR
@@ -339,14 +346,80 @@ class HostVector3Family:
     # sigma-weighted mass: Im(eps) = eps_clad * sigma in the PML annulus
     # (cores never reach the PML), so Mim is linear in eps_clad too
     Msig: Optional[sp.csr_matrix] = None
+    # base-layout quadrature geometry for mask-correction instantiation
+    dg: Optional[DeviceGrid] = None
+    in_core_base: Optional[np.ndarray] = None   # (E, Q) bool
+    alpha_p: float = 1.0
 
-    def instantiate(self, eps_core: float, eps_clad: float) -> "HostVector3":
+    def _mask_correction(self, eps_params) -> Optional[np.ndarray]:
+        """(3, nnz) i-channel data for weight (m_member - m_base)."""
+        dg = self.dg
+        x = dg.qp_xy[..., 0]
+        y = dg.qp_xy[..., 1]
+        pos = np.asarray(eps_params.positions)
+        rad = np.asarray(eps_params.core_radii)
+        d2 = ((x[..., None] - pos[:, 0]) ** 2
+              + (y[..., None] - pos[:, 1]) ** 2)
+        m_new = np.any(d2 <= rad**2, axis=-1)
+        diff = m_new[: dg.n_elems] != self.in_core_base[: dg.n_elems]
+        elems = np.where(diff.any(axis=1))[0]
+        if len(elems) == 0:
+            return None
+        w = (m_new[: dg.n_elems].astype(np.float64)
+             - self.in_core_base[: dg.n_elems].astype(np.float64))
+        # assemble the i-channel primitives on the changed elements only
+        sub = _SubGrid(dg, elems)
+        prim = vector3_prims_np(sub, None,
+                                weights={"i": w[elems], "u": None})
+        A0 = stack_blocks_np(combine_vector3_np(prim, 0.0, self.alpha_p), 3)
+        A1 = stack_blocks_np(
+            combine_vector3_np(prim, 0.0, self.alpha_p, derivative=True), 3)
+        Af = stack_blocks_np(combine_vector3_np(prim, 1.0, self.alpha_p), 3)
+        A2 = Af - A0 - A1
+        nnz = len(self.pat.indices)
+        perm = self.pat.perm.reshape(dg.n_elems, -1)[elems].ravel()
+
+        def slots(blocks):
+            return np.bincount(perm, weights=blocks.ravel(), minlength=nnz)
+
+        return np.stack([slots(A0), slots(A1), slots(A2)])
+
+    def instantiate(self, eps_core: float, eps_clad: float,
+                    eps_params=None) -> "HostVector3":
         ic, il = 1.0 / eps_core, 1.0 / eps_clad
         d = ic * self.d_core + il * self.d_clad + self.d_u
+        if eps_params is not None and self.dg is not None:
+            import zlib
+
+            key = (zlib.crc32(np.ascontiguousarray(
+                       eps_params.positions).tobytes()),
+                   zlib.crc32(np.ascontiguousarray(
+                       eps_params.core_radii).tobytes()))
+            if key not in self._corr_cache:
+                if len(self._corr_cache) > 16:
+                    self._corr_cache.clear()
+                self._corr_cache[key] = self._mask_correction(eps_params)
+            corr = self._corr_cache[key]
+            if corr is not None:
+                d = d + (ic - il) * corr
         Mim = None if self.Msig is None else eps_clad * self.Msig
         return HostVector3(pat=self.pat, d0=d[0], d1=d[1], d2=d[2],
                            M3=self.M3, spat=self.spat, Dxx=self.Dxx,
                            Dyy=self.Dyy, Dxy=self.Dxy, Mim=Mim)
+
+    def __post_init__(self):
+        self._corr_cache: dict = {}
+
+
+class _SubGrid:
+    """Element-subset view of a DeviceGrid (quadrature arrays only)."""
+
+    def __init__(self, dg: DeviceGrid, elems: np.ndarray):
+        self.qp_w = dg.qp_w[elems]
+        self.qp_xy = dg.qp_xy[elems]
+        self.grad_phys = dg.grad_phys[elems]
+        self.shape_vals = dg.shape_vals
+        self.n_elems = len(elems)
 
 
 _FAMILY_CACHE: dict = {}
@@ -432,7 +505,9 @@ def _build_host_vector3_family(dg: DeviceGrid, eps_params,
                 _flat(_wsum_np(dg.qp_w, sigma, Nq, Nq), T))
     return HostVector3Family(pat=pat, spat=spat, d_core=d_core,
                              d_clad=d_clad, d_u=d_u, M3=M3, Dxx=Dxx,
-                             Dyy=Dyy, Dxy=Dxy, Msig=Msig)
+                             Dyy=Dyy, Dxy=Dxy, Msig=Msig, dg=dg,
+                             in_core_base=in_core.astype(bool),
+                             alpha_p=alpha_p)
 
 
 # ---------------------------------------------------------------------------

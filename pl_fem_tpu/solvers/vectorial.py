@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Dict, List, Optional
 
 import jax
@@ -313,13 +314,17 @@ class TrueVectorialMaxwellSolver:
                     config: Optional[SimulationConfig] = None):
         """Solve B same-grid designs in one packed device sweep.
 
-        All geometries must share core positions/radii (one mesh); they
-        may differ in wavelength, n_core, n_clad — the multi-band /
-        multi-contrast dataset workload. The Chebyshev filter runs once
-        with all designs packed along the lane axis (ops/kernels.py
-        ``cheb_rr_pass_sweep``); the host f64 polish instantiates each
-        design's CSR data from a shared linear-coefficient family in a
-        few axpys. Returns a list of mode lists, one per geometry.
+        All geometries must share the mesh (same core layout at the
+        same pitch — one grid); they may differ in wavelength, n_core,
+        n_clad, and (within the mesh's interface-band resolution, see
+        dataset/bucketing.py) core radii — the multi-band /
+        multi-contrast / canonical-bucket dataset workloads. The
+        Chebyshev filter runs once with all designs packed along the
+        lane axis (ops/kernels.py ``cheb_rr_pass_sweep``); the host f64
+        polish instantiates each design's CSR data from a shared
+        linear-coefficient family (plus an interface-annulus correction
+        when radii differ). Returns a list of mode lists, one per
+        geometry.
         """
         from ..utils import PhaseTimer
 
@@ -339,7 +344,9 @@ class TrueVectorialMaxwellSolver:
         # end at production mesh size; guard set with margin above that.
         k_est = min(n_modes_target + scfg.extra_vectors, n)
         E_pad = dg.elem_dofs.shape[0]
-        budget = 6_000_000            # max E_pad * B * k working-set units
+        # max E_pad * B * k working-set units (env override for probing
+        # the real ceiling; see scratch/tune_case.py)
+        budget = int(os.environ.get("PL_FEM_SWEEP_BUDGET", "6000000"))
         b_max = max(1, budget // (E_pad * k_est))
         if B > b_max:
             out = []
@@ -451,7 +458,8 @@ class TrueVectorialMaxwellSolver:
                 pooled[bix] = Xh if pooled[bix] is None else \
                     np.concatenate([pooled[bix], Xh], axis=1)
                 hv = hv_single if family is None else \
-                    family.instantiate(g.n_core**2, g.n_clad**2)
+                    family.instantiate(g.n_core**2, g.n_clad**2,
+                                       eps_params=g.eps_params())
                 with timer.phase("polish"):
                     bts, H, _, qres = quadratic_subspace(
                         hv, pooled[bix], g.k0,

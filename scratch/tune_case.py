@@ -30,13 +30,16 @@ def make_geom(wl):
     return MCFGeometry(7, 8.0, 1.5, 1.535, 1.0, wavelength_um=wl)
 
 
+GOLDEN = os.environ.get("CASE_GOLDEN") == "1"
 cfg = SimulationConfig(mesh_min_points=MESH_MIN,
                        mesh_target_points=4 * MESH_MIN,
                        mesh=MeshConfig(bucket_rounding=1024),
                        solver=SolverConfig(backend=BACKEND,
                                            cheb_degree=DEGREE,
                                            binv_degree=BINV,
-                                           cheb_passes=2, beta_passes=1))
+                                           cheb_passes=3 if GOLDEN else 2,
+                                           beta_passes=2 if GOLDEN else 1,
+                                           bootstrap=not GOLDEN))
 geom0 = make_geom(1.55)
 grid = MeshGenerator.generate(geom0, 0.7, cfg)
 dg = export_device_grid(grid, 1024)

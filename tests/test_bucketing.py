@@ -1,0 +1,176 @@
+"""Canonical-grid bucketing: scale invariance, mixed-radius sweeps,
+bucketed dataset engine, physical taper profiles.
+
+The bucketing layer (dataset/bucketing.py) is what turns arbitrary LHS
+designs into shared-mesh packed sweeps — no reference analog (the
+reference re-meshes and re-solves every design serially,
+/root/reference/main.py:343-386).
+"""
+import numpy as np
+import pytest
+
+from pl_fem_tpu.config import MeshConfig, SimulationConfig, SolverConfig
+from pl_fem_tpu.dataset.bucketing import (
+    P_CANONICAL,
+    bucket_key,
+    canonical_scale,
+    canonicalize,
+    class_geometry,
+    group_by_bucket,
+    rescale_modes,
+)
+from pl_fem_tpu.models import MCFGeometry
+from pl_fem_tpu.ops.femgrid import MeshGenerator, export_device_grid
+from pl_fem_tpu.solvers import TrueVectorialMaxwellSolver
+
+CFG = SimulationConfig(
+    mesh_min_points=500, mesh_target_points=2000,
+    mesh=MeshConfig(bucket_rounding=256),
+    solver=SolverConfig(backend="tpu", cheb_degree=150, cheb_passes=2,
+                        beta_passes=2, bootstrap=False))
+
+
+def geom(pitch=8.0, r=1.5, n_core=1.535, n_clad=1.44, wl=1.55, n=3,
+         **kw):
+    return MCFGeometry(n, pitch, r, n_core, n_clad, wavelength_um=wl, **kw)
+
+
+def test_bucket_keys_group_by_layout_and_ratio():
+    g1 = geom(pitch=8.0, r=1.5)
+    g2 = geom(pitch=6.0, r=1.125)          # same ratio, different scale
+    g3 = geom(pitch=8.0, r=1.2)            # different ratio class
+    g4 = geom(pitch=8.0, r=1.5, n=7)       # different layout
+    assert bucket_key(g1) == bucket_key(g2)
+    assert bucket_key(g1) != bucket_key(g3)
+    assert bucket_key(g1) != bucket_key(g4)
+    groups = group_by_bucket([g1, g2, g3, g4])
+    assert sorted(len(v) for v in groups.values()) == [1, 1, 2]
+
+
+def test_canonicalize_preserves_ratio_and_shares_domain():
+    g = geom(pitch=5.0, r=1.0, wl=1.3)
+    key = bucket_key(g)
+    cls = class_geometry(key, g)
+    can, s = canonicalize(g, cls)
+    assert can.pitch_param == pytest.approx(P_CANONICAL, rel=1e-12)
+    assert can.r_core / can.pitch_param == pytest.approx(
+        g.r_core / g.pitch_param, rel=1e-12)
+    assert can.wavelength == pytest.approx(g.wavelength * s, rel=1e-12)
+    assert can.cladding_radius == cls.cladding_radius
+    assert can.V_number == pytest.approx(g.V_number, rel=1e-9)
+
+
+def test_scale_invariance_of_solve():
+    """The same design solved at two scales gives the same n_eff.
+
+    This is the physical fact the canonical-grid bucketing rests on:
+    Maxwell eigenmodes are invariant under (lengths, lambda) -> s *
+    (lengths, lambda). The meshes are generated independently at each
+    scale (geometrically similar point clouds), so agreement also
+    bounds the mesher's scale artifacts.
+    """
+    g_phys = geom(pitch=5.0, r=1.0, wl=1.55, pml_thickness=10.0 * 5 / 8)
+    s = 8.0 / 5.0
+    g_scaled = geom(pitch=8.0, r=1.6, wl=1.55 * s, pml_thickness=10.0)
+    res = []
+    for g in (g_phys, g_scaled):
+        grid = MeshGenerator.generate(g, 0.4, CFG)
+        dg = export_device_grid(grid, 256)
+        modes = TrueVectorialMaxwellSolver.solve_sweep(
+            [g], dg, 4, CFG)[0]
+        assert modes, "no modes found"
+        res.append(modes[0]["n_eff"])
+    assert res[0] == pytest.approx(res[1], abs=2e-5)
+
+
+def test_mixed_radius_sweep_matches_single_solves():
+    """Family mask-correction: sweep members with different radii get
+    EXACT per-member host operators (same grid oracle: B=1 build)."""
+    g1 = geom(pitch=8.0, r=1.5)
+    g2 = geom(pitch=8.0, r=1.56)           # +4%: same ratio class
+    grid = MeshGenerator.generate(g1, 0.4, CFG)
+    dg = export_device_grid(grid, 256)
+    sweep = TrueVectorialMaxwellSolver.solve_sweep([g1, g2], dg, 4, CFG)
+    single2 = TrueVectorialMaxwellSolver.solve_sweep([g2], dg, 4, CFG)[0]
+    assert sweep[1] and single2
+    ne_sweep = [m["n_eff"] for m in sweep[1][:3]]
+    ne_single = [m["n_eff"] for m in single2[:3]]
+    np.testing.assert_allclose(ne_sweep, ne_single, rtol=0, atol=3e-6)
+    # and the two members genuinely differ (the radius is physical)
+    assert abs(sweep[1][0]["n_eff"] - sweep[0][0]["n_eff"]) > 1e-4
+
+
+def test_rescale_modes_restores_physical_beta():
+    g = geom(pitch=5.0, r=1.0)
+    cls = class_geometry(bucket_key(g), g)
+    can, s = canonicalize(g, cls)
+    modes = [{"n_eff": 1.5, "beta": 1.5 * can.k0, "beta_im": 1e-6}]
+    out = rescale_modes(modes, s, g.k0)
+    assert out[0]["beta"] == pytest.approx(1.5 * g.k0, rel=1e-12)
+    assert out[0]["beta_im"] == pytest.approx(1e-6 * s, rel=1e-12)
+
+
+def test_taper_profile_is_physical():
+    """Changing the sampled taper_profile changes IL_CMT (VERDICT #5:
+    the column must influence outputs, not just be recorded)."""
+    from pl_fem_tpu.dataset.generator import DatasetGenerator
+
+    # cmt_min_scale=0.6 + 2.5% contrast keep the waist slice guided
+    # (V ~ 1.2) on the coarse CPU test mesh; at the default 0.35 floor
+    # a weak design's waist is genuinely below cutoff (correct physics:
+    # CMT then truncates to the surviving common mode set)
+    cfg = SimulationConfig(
+        mesh_min_points=400, mesh_target_points=1600,
+        mesh=MeshConfig(bucket_rounding=256, refinement=0.45),
+        solver=SolverConfig(backend="tpu", cheb_degree=200,
+                            cheb_passes=3, beta_passes=2,
+                            bootstrap=False),
+        cmt_min_scale=0.6)
+    gen = DatasetGenerator(config=cfg, use_vectorial=True,
+                           n_taper_slices=3)
+    base = dict(sample_id="TP", n_cores=2, core_radius_um=1.5,
+                pitch_um=8.0, delta_n_percent=2.5, wavelength_nm=1550.0,
+                n_clad=1.44, taper_length_mm=0.2)
+    il = {}
+    for prof in ("linear", "sinusoidal"):
+        rec = gen.simulate_sample({**base, "taper_profile": prof,
+                                   "sample_id": f"TP-{prof}"})
+        assert rec.success, rec.error_msg
+        assert rec.IL_CMT_mux_dB is not None, rec.warnings
+        il[prof] = rec.IL_CMT_mux_dB
+    assert il["linear"] != pytest.approx(il["sinusoidal"], abs=1e-9)
+
+
+def test_bucketed_engine_matches_serial():
+    """simulate_bucketed == serial simulate_sample (solver tol apart)."""
+    from pl_fem_tpu.dataset.generator import DatasetGenerator
+
+    cfg = SimulationConfig(
+        mesh_min_points=500, mesh_target_points=2000,
+        mesh=MeshConfig(bucket_rounding=256, refinement=0.45),
+        solver=SolverConfig(backend="tpu", cheb_degree=200,
+                            cheb_passes=3, beta_passes=2,
+                            bootstrap=False))
+    gen = DatasetGenerator(config=cfg, use_vectorial=True)
+    samples = [
+        dict(sample_id="T1", n_cores=3, core_radius_um=1.5, pitch_um=8.0,
+             delta_n_percent=1.5, wavelength_nm=1550.0, n_clad=1.44),
+        dict(sample_id="T2", n_cores=3, core_radius_um=1.2, pitch_um=6.4,
+             delta_n_percent=1.5, wavelength_nm=1310.0, n_clad=1.44),
+        dict(sample_id="T3", n_cores=3, core_radius_um=1.0, pitch_um=11.0,
+             delta_n_percent=2.0, wavelength_nm=1550.0, n_clad=1.44),
+    ]
+    swept = gen.simulate_bucketed(samples)
+    serial = [gen.simulate_sample(s) for s in samples]
+    for rb, rs in zip(swept, serial):
+        assert rb.success == rs.success, rb.error_msg
+        if rs.success:
+            # different meshes (canonical vs per-design) -> agreement
+            # is discretization-level, not solver-level; at these
+            # coarse CPU test meshes (~2k points) the per-mesh
+            # discretization error is ~1e-3 (both converge to the same
+            # continuum limit — test_scale_invariance_of_solve bounds
+            # the mesher's scale artifacts at 2e-5 on matched grids)
+            assert rb.n_eff_max == pytest.approx(rs.n_eff_max, abs=1.5e-3)
+            assert rb.n_modes_found >= 1
+            assert rb.IL_phys_mux_dB is not None
