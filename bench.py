@@ -25,12 +25,26 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 N_SWEEP = int(os.environ.get("BENCH_SWEEP", "8"))
 N_BASELINE = int(os.environ.get("BENCH_BASELINE", "2"))
-MESH_MIN = int(os.environ.get("BENCH_MESH_MIN", "2500"))
+# production mesh scale: ~8k points / ~41k DOFs matches the reference's
+# 15-20k-point meshing target band (/root/reference/mesh.py:246-248)
+# after its 2.5x explosion guard; the ARPACK baseline is timed on the
+# SAME mesh so the ratio is size-matched.
+MESH_MIN = int(os.environ.get("BENCH_MESH_MIN", "8000"))
 N_MODES = 10
 
 
 def main():
     import numpy as np
+
+    import jax
+    # persistent compile cache: repeat driver runs skip the large
+    # one-time XLA compile of the packed sweep kernels
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(Path(__file__).parent / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
     from pl_fem_tpu.config import MeshConfig, SimulationConfig, SolverConfig
     from pl_fem_tpu.models import MCFGeometry
