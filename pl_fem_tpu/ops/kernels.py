@@ -522,18 +522,9 @@ def _apply_binv_fused(qs: QFactorSweep, gs: GatherScatter, mask, dinv_sqrt,
     return ds * (Z + Dd)
 
 
-def cheb_rr_pass_sweep_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
-                            alpha, X, cuts, bounds, degree: int = 300,
-                            binv_degree: int = 4, renorm_every: int = 8):
-    """Packed sweep filter + per-design Rayleigh-Ritz.
-
-    X: (3D, B, k); parks/betas/cuts/bounds: (B,). The Chebyshev
-    recurrence runs in the fused-lane layout (see above); mass/binv are
-    shared (same grid). Returns per-design (theta (B, k), X (3D, B, k),
-    res (B, k)).
-    """
-    CD, B, k = X.shape
-    D = CD // 3
+def _sweep_apply_t(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas, alpha,
+                   cuts, bounds, D, B, k, binv_degree):
+    """Shifted-scaled filter operator T = (B^{-1}A - c) / h, fused."""
 
     def binv_f(Vf):                               # (D, B, 3, k)
         Vl = Vf.reshape(D, 3 * B * k)
@@ -548,9 +539,10 @@ def cheb_rr_pass_sweep_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
         W = binv_f(W)
         return (W - c * Vf) / h
 
-    T0 = _fused_from_stacked(X.astype(jnp.float32))
-    T1 = apply_t(T0)
+    return apply_t
 
+
+def _sweep_iterate(apply_t, T0, T1, steps, renorm_every):
     def body(i, carry):
         T0, T1 = carry
         T2 = 2.0 * apply_t(T1) - T0
@@ -559,7 +551,39 @@ def cheb_rr_pass_sweep_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
         s = jnp.where(do, s, jnp.ones_like(s))
         return T1 * s, T2 * s
 
-    _, Xff = jax.lax.fori_loop(1, degree, body, (T0, T1))
+    return jax.lax.fori_loop(0, steps, body, (T0, T1))
+
+
+def cheb_sweep_chunk_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
+                          alpha, T0, T1, cuts, bounds, steps: int,
+                          first: bool, binv_degree: int = 4,
+                          renorm_every: int = 8):
+    """Advance the sweep recurrence by ``steps`` (one bounded dispatch).
+
+    Splitting the degree loop across dispatches exists because single
+    XLA programs running longer than roughly a minute get the TPU
+    worker killed ("kernel fault"): the crash reproduces at fixed
+    shapes by raising only degree/binv (and disappears when the same
+    work is issued as shorter dispatches). State (T0, T1) stays on
+    device in the fused-lane layout between calls.
+    """
+    D, B, _, k = T0.shape
+    apply_t = _sweep_apply_t(qs, gs, mask, dinv_sqrt, lo, hi, parks,
+                             betas, alpha, cuts, bounds, D, B, k,
+                             binv_degree)
+    if first:
+        T1 = apply_t(T0)
+        steps = steps - 1
+    return _sweep_iterate(apply_t, T0, T1, steps, renorm_every)
+
+
+cheb_sweep_chunk = partial(jax.jit, static_argnames=(
+    "steps", "first", "binv_degree", "renorm_every"))(cheb_sweep_chunk_impl)
+
+
+def cheb_sweep_rr_impl(qs, gs, mask, parks, betas, alpha, Xff):
+    """Rayleigh-Ritz tail on a filtered fused-lane subspace."""
+    D, B, _, k = Xff.shape
     Xf = _stacked_from_fused(Xff)
 
     def mass_flat(V):
@@ -604,8 +628,71 @@ def cheb_rr_pass_sweep_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
     return theta, Xr, res
 
 
+cheb_sweep_rr = jax.jit(cheb_sweep_rr_impl)
+
+
+def cheb_rr_pass_sweep_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
+                            alpha, X, cuts, bounds, degree: int = 300,
+                            binv_degree: int = 4, renorm_every: int = 8):
+    """Packed sweep filter + per-design Rayleigh-Ritz (one dispatch).
+
+    X: (3D, B, k); parks/betas/cuts/bounds: (B,). The Chebyshev
+    recurrence runs in the fused-lane layout (see above); mass/binv are
+    shared (same grid). Returns per-design (theta (B, k), X (3D, B, k),
+    res (B, k)). Large problems go through the chunked driver below
+    instead (same math, bounded dispatch length).
+    """
+    CD, B, k = X.shape
+    D = CD // 3
+    apply_t = _sweep_apply_t(qs, gs, mask, dinv_sqrt, lo, hi, parks,
+                             betas, alpha, cuts, bounds, D, B, k,
+                             binv_degree)
+    T0 = _fused_from_stacked(X.astype(jnp.float32))
+    T1 = apply_t(T0)
+    _, Xff = _sweep_iterate(apply_t, T0, T1, degree - 1, renorm_every)
+    return cheb_sweep_rr_impl(qs, gs, mask, parks, betas, alpha, Xff)
+
+
 cheb_rr_pass_sweep = partial(jax.jit, static_argnames=(
     "degree", "binv_degree", "renorm_every"))(cheb_rr_pass_sweep_impl)
+
+# Per-step cost model for dispatch sizing (TPU, measured r2: B=8,
+# E=21504, k=22, binv=4 -> 87 ms/step): seconds/step ~ COEF * E*B*k *
+# (1 + binv_degree). The watchdog kills dispatches around a minute;
+# target ~10 s per dispatch with wide margin.
+_STEP_COEF = 4.6e-9
+_DISPATCH_TARGET_S = 10.0
+
+
+def cheb_rr_pass_sweep_auto(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
+                            alpha, X, cuts, bounds, degree: int = 300,
+                            binv_degree: int = 4, renorm_every: int = 8):
+    """Pass driver that splits long recurrences into bounded dispatches."""
+    CD, B, k = X.shape
+    E = qs.w.shape[0]
+    est_step = _STEP_COEF * E * B * k * (1 + binv_degree)
+    max_steps = max(int(_DISPATCH_TARGET_S / max(est_step, 1e-12)), 8)
+    if degree <= max_steps:
+        return cheb_rr_pass_sweep(
+            qs, gs, mask, dinv_sqrt, lo, hi, parks, betas, alpha, X,
+            cuts, bounds, degree=degree, binv_degree=binv_degree,
+            renorm_every=renorm_every)
+    n_chunks = -(-degree // max_steps)
+    chunk = -(-degree // n_chunks)
+    chunk = max(((chunk + renorm_every - 1) // renorm_every)
+                * renorm_every, renorm_every)
+    T0 = _fused_from_stacked(X.astype(jnp.float32))
+    T1 = T0
+    done, first = 0, True
+    while done < degree:
+        n = min(chunk, degree - done)
+        T0, T1 = cheb_sweep_chunk(
+            qs, gs, mask, dinv_sqrt, lo, hi, parks, betas, alpha, T0, T1,
+            cuts, bounds, steps=n, first=first, binv_degree=binv_degree,
+            renorm_every=renorm_every)
+        done += n
+        first = False
+    return cheb_sweep_rr(qs, gs, mask, parks, betas, alpha, T1)
 
 
 def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
@@ -633,7 +720,7 @@ def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
     prev = np.inf
     for ip in range(max_passes):
         t0 = time.perf_counter()
-        theta, Xr, res = cheb_rr_pass_sweep(
+        theta, Xr, res = cheb_rr_pass_sweep_auto(
             qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
             jnp.float32(alpha), X, cuts, bounds, degree=degree,
             binv_degree=binv_degree)

@@ -1,7 +1,22 @@
-"""End-to-end parity: TPU backend vs ARPACK hybrid on the same 7-core mesh."""
-import sys, time
-sys.path.insert(0, "/root/repo")
-import jax
+"""Production-scale parity: TPU backend vs sigma-seeded ARPACK oracle.
+
+BASELINE.md gate: n_eff rel err < 5e-5 on the 7-core hex flagship at
+the reference's production mesh scale (>= 15k points,
+/root/reference/mesh.py:246-248). Both backends solve THE SAME mesh;
+ARPACK is seeded with sigma from the TPU beta (the reference's
+unseeded interior-point heuristic locks onto a spurious cluster on
+high-contrast geometries — tests/test_cross_formulation.py:55).
+
+Usage: nohup python -u scratch/parity_7core.py > /tmp/parity.log 2>&1 &
+Env: PARITY_MESH_MIN (15000), PARITY_MODES (10), PARITY_GOLDEN (1).
+"""
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
 import numpy as np
 
 from pl_fem_tpu.config import MeshConfig, SimulationConfig, SolverConfig
@@ -9,32 +24,69 @@ from pl_fem_tpu.models import MCFGeometry
 from pl_fem_tpu.ops.femgrid import MeshGenerator, export_device_grid
 from pl_fem_tpu.solvers import TrueVectorialMaxwellSolver
 
+MESH_MIN = int(os.environ.get("PARITY_MESH_MIN", "15000"))
+N_MODES = int(os.environ.get("PARITY_MODES", "10"))
+GOLDEN = os.environ.get("PARITY_GOLDEN", "1") == "1"
+
 geom = MCFGeometry(7, 8.0, 1.5, 1.535, 1.0, wavelength_um=1.55)
-cfg_t = SimulationConfig(mesh_min_points=2500, mesh_target_points=10000,
-                         mesh=MeshConfig(bucket_rounding=1024),
-                         solver=SolverConfig(backend="tpu", cheb_degree=300,
-                                             cheb_passes=2, beta_passes=1))
-cfg_h = SimulationConfig(mesh_min_points=2500, mesh_target_points=10000,
-                         mesh=MeshConfig(bucket_rounding=1024),
-                         solver=SolverConfig(backend="hybrid"))
+deg = 400 if GOLDEN else 300
+cfg_t = SimulationConfig(
+    mesh_min_points=MESH_MIN, mesh_target_points=4 * MESH_MIN,
+    mesh=MeshConfig(bucket_rounding=1024),
+    solver=SolverConfig(backend="tpu", cheb_degree=deg,
+                        cheb_passes=3 if GOLDEN else 2,
+                        beta_passes=2 if GOLDEN else 1))
+cfg_h = SimulationConfig(
+    mesh_min_points=MESH_MIN, mesh_target_points=4 * MESH_MIN,
+    mesh=MeshConfig(bucket_rounding=1024),
+    solver=SolverConfig(backend="hybrid"))
 grid = MeshGenerator.generate(geom, 0.7, cfg_t)
 dg = export_device_grid(grid, 1024)
-print(f"mesh {grid.n_dofs} dofs", flush=True)
+print(f"mesh {grid.n_points} pts {grid.n_dofs} dofs "
+      f"bucket={dg.bucket}", flush=True)
 
 t0 = time.time()
 mt = TrueVectorialMaxwellSolver(geom, config=cfg_t) \
-    .solve_vectorial_modes(dg, 10)
-print(f"tpu: {len(mt)} modes in {time.time()-t0:.1f}s", flush=True)
+    .solve_vectorial_modes(dg, N_MODES)
+t_tpu = time.time() - t0
+print(f"tpu ({deg=}): {len(mt)} modes in {t_tpu:.1f}s", flush=True)
 
+sigma = (mt[0]["beta"] * 1.0005) ** 2
 t0 = time.time()
 mh = TrueVectorialMaxwellSolver(geom, config=cfg_h) \
-    .solve_vectorial_modes(dg, 10)
-print(f"hybrid/ARPACK: {len(mh)} modes in {time.time()-t0:.1f}s", flush=True)
+    .solve_vectorial_modes(dg, N_MODES, sigma=sigma)
+t_arp = time.time() - t0
+print(f"seeded ARPACK: {len(mh)} modes in {t_arp:.1f}s", flush=True)
 
 net = np.array([m["n_eff"] for m in mt])
 neh = np.array([m["n_eff"] for m in mh])
-nb = min(len(net), len(neh), 14)
-print("idx   tpu         arpack      |diff|")
+nb = min(len(net), len(neh), N_MODES)
+rel = np.abs(net[:nb] - neh[:nb]) / neh[:nb]
+lines = [
+    "# Vectorial parity artifact (round 2)",
+    "",
+    f"7-core hexagonal flagship (BASELINE config 1) at production mesh",
+    f"scale: {grid.n_points} points / {grid.n_dofs} P2 scalar DOFs "
+    f"({3 * grid.n_dofs} vector unknowns), single mesh shared by both",
+    "backends. ARPACK shift-invert seeded at sigma = (beta_TPU*1.0005)^2",
+    "(the reference's own eigensolver; unseeded it locks onto the",
+    "spurious cluster, tests/test_cross_formulation.py:55).",
+    "",
+    f"- TPU backend (deg {deg}, binv 4, f32 filter + f64 polish): "
+    f"{t_tpu:.1f}s",
+    f"- seeded ARPACK (host f64): {t_arp:.1f}s",
+    "",
+    "| mode | n_eff TPU | n_eff ARPACK | rel err |",
+    "|---|---|---|---|",
+]
 for i in range(nb):
-    print(f"{i:3d} {net[i]:.8f} {neh[i]:.8f} {abs(net[i]-neh[i]):.2e}")
-print("max |diff| over first %d: %.2e" % (nb, np.abs(net[:nb]-neh[:nb]).max()))
+    lines.append(f"| {i} | {net[i]:.9f} | {neh[i]:.9f} | {rel[i]:.2e} |")
+lines += [
+    "",
+    f"**max rel err over {nb} modes: {rel.max():.2e}** "
+    f"(gate: < 5e-5, /root/reference/README.md:44)",
+]
+print("\n".join(lines), flush=True)
+out = Path(__file__).parent.parent / "docs" / "PARITY_r2.md"
+out.write_text("\n".join(lines) + "\n")
+print(f"wrote {out}", flush=True)
