@@ -276,7 +276,8 @@ class TrueVectorialMaxwellSolver:
             if grid_c is None:
                 return None
             results_c = cls.solve_sweep(geometries, grid_c,
-                                        n_modes_target, coarse_cfg)
+                                        n_modes_target, coarse_cfg,
+                                        _raw_modes=True)
         except Exception as e:   # bootstrap is an accelerator, never fatal
             logger.warning("bootstrap solve failed (%s); random init", e)
             return None
@@ -311,7 +312,8 @@ class TrueVectorialMaxwellSolver:
     # -- same-grid sweep (no reference analog: BASELINE config 2) -------
     @classmethod
     def solve_sweep(cls, geometries, grid, n_modes_target: int = 20,
-                    config: Optional[SimulationConfig] = None):
+                    config: Optional[SimulationConfig] = None,
+                    _raw_modes: bool = False):
         """Solve B same-grid designs in one packed device sweep.
 
         All geometries must share the mesh (same core layout at the
@@ -352,7 +354,8 @@ class TrueVectorialMaxwellSolver:
             out = []
             for s in range(0, B, b_max):
                 out.extend(cls.solve_sweep(geometries[s:s + b_max], dg,
-                                           n_modes_target, cfg))
+                                           n_modes_target, cfg,
+                                           _raw_modes=_raw_modes))
             return out
 
         # two-grid bootstrap: coarse solve -> X0 + per-design beta0
@@ -476,6 +479,18 @@ class TrueVectorialMaxwellSolver:
                 if len(bts):
                     beta_new[bix] = float(np.median(bts))
                     hx, hy, hz = H[:n], H[n:2 * n], H[2 * n:]
+                    if _raw_modes:
+                        # subspace-seed consumers (two-grid bootstrap)
+                        # need only fields + beta; skip the host
+                        # postprocessing entirely
+                        order = np.argsort(-bts)
+                        results[bix] = [
+                            {"beta": float(bts[i]),
+                             "n_eff": float(bts[i]) / g.k0,
+                             "Ex_dofs": hx[:, i], "Ey_dofs": hy[:, i],
+                             "Hz_dofs": hz[:, i]}
+                            for i in order]
+                        continue
                     solver = cls(g, config=cfg)
                     with timer.phase("postproc"):
                         results[bix] = solver._postprocess(
