@@ -19,6 +19,25 @@ parametric dataset generation, built TPU-first:
 
 __version__ = "0.2.0"
 
+import os as _os
+
+# Persistent XLA compile cache: the packed-sweep executables take
+# minutes to build per bucket shape; cache them across processes.
+# Opt out with PL_FEM_NO_COMPILE_CACHE=1.
+if not _os.environ.get("PL_FEM_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache = _os.environ.get(
+            "PL_FEM_COMPILE_CACHE",
+            _os.path.expanduser("~/.cache/pl_fem_tpu/xla"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           2.0)
+    except Exception:                        # cache is best-effort only
+        pass
+
 from .constants import PHYS, PhysConst
 from .config import (
     MeshConfig,

@@ -431,49 +431,59 @@ def _apply_vector3_fused(qs: QFactorSweep, gs: GatherScatter, mask, parks,
 
     Xf: (D, B, 3, k) -> (D, B, 3, k). One (E, 6)-row gather/accumulate
     pair serves all components, designs and columns.
+
+    The 6-wide shape-function contractions are UNROLLED into VPU
+    broadcast-FMA chains instead of einsums: a contraction dim of 6 on
+    the 128x128 MXU runs at <5% utilization (x6 passes under HIGHEST
+    emulation), measured 67 ms of an 84 ms apply at bench size; the
+    unrolled form is traffic-bound instead (~3 GFLOP of VPU work).
     """
-    hp = _FILTER_PREC
     D, B, C, k = Xf.shape
     L = B * C * k
     m = mask[:, None].astype(Xf.dtype)
     Xl = Xf.reshape(D, L)
     Xm = Xl * m
-    U = Xm[gs.elem_dofs].reshape(-1, 6, B, C, k)     # (E, 6, B, 3, k)
-    E = U.shape[0]
+    # transposed index table -> per-local-dof slices are contiguous
+    U = Xm[gs.elem_dofs.T].reshape(6, -1, B, C, k)   # (6, E, B, 3, k)
+    E = U.shape[1]
 
     # Physical gradients come from the PRECOMPUTED per-element table
-    # gp (E, Q, 6, 2) — 72 floats/element, streamed once per apply —
-    # instead of chaining reference-gradient and J^{-T} einsums, which
-    # materialized two (E, Q, 3, 2, B*k) intermediates (545 MB each at
-    # bench size; measured ~40% of the apply).
+    # gp (E, Q, 6, 2) — 72 floats/element, streamed once per apply.
     gpx = qs.gp[..., 0]                              # (E, Q, 6)
     gpy = qs.gp[..., 1]
-    V = jnp.einsum("qi,eibxk->eqbxk", _N_REF, U, precision=hp)
-    Gx = jnp.einsum("eqi,eibxk->eqbxk", gpx, U, precision=hp)
-    Gy = jnp.einsum("eqi,eibxk->eqbxk", gpy, U, precision=hp)
-    Q = V.shape[1]
+    Nq = np.asarray(_N_REF)                          # (Q, 6) constants
+    Qn = Nq.shape[0]
+    b = betas[None, :, None]                         # over (E, B, k)
+    Ui = [U[i] for i in range(6)]                    # (E, B, 3, k) each
+    Y = [None] * 6
+    for q in range(Qn):
+        V = sum(float(Nq[q, i]) * Ui[i] for i in range(6))
+        gx = gpx[:, q, :]                            # (E, 6)
+        gy = gpy[:, q, :]
+        Gx = sum(gx[:, i, None, None, None] * Ui[i] for i in range(6))
+        Gy = sum(gy[:, i, None, None, None] * Ui[i] for i in range(6))
+        c1 = Gy[:, :, 2] - b * V[:, :, 1]            # dy hz - b hy
+        c2 = b * V[:, :, 0] - Gx[:, :, 2]            # b hx - dx hz
+        c3 = Gx[:, :, 1] - Gy[:, :, 0]               # dx hy - dy hx
+        dv = Gx[:, :, 0] + Gy[:, :, 1] - b * V[:, :, 2]
 
-    b = betas[None, None, :, None]                   # over (E, Q, B, k)
-    c1 = Gy[:, :, :, 2] - b * V[:, :, :, 1]          # dy hz - b hy
-    c2 = b * V[:, :, :, 0] - Gx[:, :, :, 2]          # b hx - dx hz
-    c3 = Gx[:, :, :, 1] - Gy[:, :, :, 0]             # dx hy - dy hx
-    dv = Gx[:, :, :, 0] + Gy[:, :, :, 1] - b * V[:, :, :, 2]
+        we = (qs.w[:, q, None] * qs.inv_eps[:, :, q].T)[..., None]
+        wa = (qs.w[:, q] * alpha)[:, None, None]
+        c1h = we * c1
+        c2h = we * c2
+        c3h = we * c3
+        dvh = wa * dv
 
-    we = (qs.w[:, :, None] * jnp.moveaxis(qs.inv_eps, 0, 2))[..., None]
-    wa = (qs.w * alpha)[:, :, None, None]
-    c1h = we * c1
-    c2h = we * c2
-    c3h = we * c3
-    dvh = wa * dv
-
-    S = jnp.stack([b * c2h, -b * c1h, -b * dvh], axis=3)   # (E, Q, B, 3, k)
-    Tx = jnp.stack([dvh, c3h, -c2h], axis=3)
-    Ty = jnp.stack([-c3h, dvh, c1h], axis=3)
-
-    Y = jnp.einsum("qi,eqbxk->eibxk", _N_REF, S, precision=hp)
-    Y = Y + jnp.einsum("eqi,eqbxk->eibxk", gpx, Tx, precision=hp)
-    Y = Y + jnp.einsum("eqi,eqbxk->eibxk", gpy, Ty, precision=hp)
-    Yd = _accumulate_fused(Y.reshape(E, 6, L), gs) * m
+        S = jnp.stack([b * c2h, -b * c1h, -b * dvh], axis=2)
+        Tx = jnp.stack([dvh, c3h, -c2h], axis=2)     # (E, B, 3, k)
+        Ty = jnp.stack([-c3h, dvh, c1h], axis=2)
+        for i in range(6):
+            t = (float(Nq[q, i]) * S
+                 + gx[:, i, None, None, None] * Tx
+                 + gy[:, i, None, None, None] * Ty)
+            Y[i] = t if Y[i] is None else Y[i] + t
+    Ye = jnp.stack(Y, axis=1)                        # (E, 6, B, 3, k)
+    Yd = _accumulate_fused(Ye.reshape(E, 6, L), gs) * m
     pk = jnp.broadcast_to(parks[None, :, None, None], Xf.shape) \
         .reshape(D, L)
     return (Yd + pk * (Xl - Xm)).reshape(D, B, C, k)
@@ -481,14 +491,23 @@ def _apply_vector3_fused(qs: QFactorSweep, gs: GatherScatter, mask, parks,
 
 def _apply_mass_fused(qs: QFactorSweep, gs: GatherScatter, mask, Xl,
                       park: float = 1.0):
-    """Plain-mass apply on fused lanes: (D, L) -> (D, L)."""
-    hp = _FILTER_PREC
+    """Plain-mass apply on fused lanes: (D, L) -> (D, L).
+
+    Unrolled VPU contractions, same rationale as the A apply above.
+    """
     m = mask[:, None].astype(Xl.dtype)
     Xm = Xl * m
-    U = Xm[gs.elem_dofs]                          # (E, 6, L)
-    V = jnp.einsum("qi,eim->eqm", _N_REF, U, precision=hp)
-    S = qs.w[..., None] * V
-    Ye = jnp.einsum("qi,eqm->eim", _N_REF, S, precision=hp)
+    U = Xm[gs.elem_dofs.T]                        # (6, E, L)
+    Nq = np.asarray(_N_REF)
+    Ui = [U[i] for i in range(6)]
+    Y = [None] * 6
+    for q in range(Nq.shape[0]):
+        V = sum(float(Nq[q, i]) * Ui[i] for i in range(6))
+        S = qs.w[:, q, None] * V
+        for i in range(6):
+            t = float(Nq[q, i]) * S
+            Y[i] = t if Y[i] is None else Y[i] + t
+    Ye = jnp.stack(Y, axis=1)                     # (E, 6, L)
     Y = _accumulate_fused(Ye, gs)
     return Y * m + park * (Xl - Xm)
 
