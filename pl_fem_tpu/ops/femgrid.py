@@ -545,7 +545,8 @@ class MeshGenerator:
     def generate(cls, geometry, refinement: float = 1.0,
                  config: Optional[SimulationConfig] = None) -> FEMGrid:
         config = config or SimulationConfig()
-        key = cls._cache_key(geometry, refinement)
+        mc = config.derived_mesh()
+        key = cls._cache_key(geometry, refinement, mc)
         if config.enable_mesh_cache and key in cls._cache:
             cls._cache_hits += 1
             cls._cache.move_to_end(key)
@@ -581,13 +582,20 @@ class MeshGenerator:
 
     # -- cache management ----------------------------------------------------
     @classmethod
-    def _cache_key(cls, geometry, refinement: float) -> str:
+    def _cache_key(cls, geometry, refinement: float,
+                   mc: Optional[MeshConfig] = None) -> str:
         h = hashlib.sha256()
         h.update(getattr(geometry, "hash", repr(geometry)).encode())
         h.update(f"{refinement:.4f}".encode())
         h.update(str(geometry.n_cores).encode())
         h.update(f"{geometry.pml_thickness:.2f}".encode())
         h.update(str(geometry.use_complex_pml).encode())
+        if mc is not None:
+            # size/refinement targets change the produced grid — two
+            # configs must not alias one cache entry (this silently
+            # returned a coarse mesh for a finer request)
+            h.update(f"{mc.mesh_min_points}:{mc.mesh_target_points}:"
+                     f"{mc.semi_refine}:{mc.min_edge_factor:.4f}".encode())
         return h.hexdigest()[:24]
 
     @classmethod

@@ -493,20 +493,32 @@ def _apply_mass_fused(qs: QFactorSweep, gs: GatherScatter, mask, Xl,
                       park: float = 1.0):
     """Plain-mass apply on fused lanes: (D, L) -> (D, L).
 
-    Unrolled VPU contractions, same rationale as the A apply above.
+    The element mass is the dense 6x6 matrix C_ij(e) = sum_q w[e,q] *
+    N[q,i] N[q,j]; its 21 unique coefficients are (E,)-vectors derived
+    from the 4 quadrature weights (VPU-trivial, fused), so the apply is
+    36 broadcast-FMAs in a SINGLE pass over the gathered U — the
+    q-looped form re-streamed U four times (measured +5 ms at bench
+    size) and the einsum form hits the MXU small-contraction cliff.
     """
     m = mask[:, None].astype(Xl.dtype)
     Xm = Xl * m
     U = Xm[gs.elem_dofs.T]                        # (6, E, L)
     Nq = np.asarray(_N_REF)
     Ui = [U[i] for i in range(6)]
+    w = qs.w                                      # (E, Q)
+    C = {}
+    for i in range(6):
+        for j in range(i, 6):
+            coef = Nq[:, i] * Nq[:, j]            # (Q,) constants
+            C[i, j] = sum(float(coef[q]) * w[:, q]
+                          for q in range(Nq.shape[0]))[:, None]
     Y = [None] * 6
-    for q in range(Nq.shape[0]):
-        V = sum(float(Nq[q, i]) * Ui[i] for i in range(6))
-        S = qs.w[:, q, None] * V
-        for i in range(6):
-            t = float(Nq[q, i]) * S
-            Y[i] = t if Y[i] is None else Y[i] + t
+    for i in range(6):
+        acc = None
+        for j in range(6):
+            t = C[min(i, j), max(i, j)] * Ui[j]
+            acc = t if acc is None else acc + t
+        Y[i] = acc
     Ye = jnp.stack(Y, axis=1)                     # (E, 6, L)
     Y = _accumulate_fused(Ye, gs)
     return Y * m + park * (Xl - Xm)

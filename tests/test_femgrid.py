@@ -118,3 +118,23 @@ def test_device_grid_export():
     gx = (dg.grad_phys[e, :, :, 0] * f).sum(axis=1)
     gy = (dg.grad_phys[e, :, :, 1] * f).sum(axis=1)
     assert np.allclose(gx, 3.0) and np.allclose(gy, -2.0)
+
+
+def test_mesh_cache_respects_size_targets():
+    """Two configs with different size targets must not alias one
+    cache entry (regression: a finer request silently returned the
+    cached coarse mesh)."""
+    from pl_fem_tpu.config import SimulationConfig
+    from pl_fem_tpu.models import MCFGeometry
+    from pl_fem_tpu.ops.femgrid import MeshGenerator
+
+    g = MCFGeometry(1, 8.0, 1.5, 1.535, 1.0, wavelength_um=1.55)
+    MeshGenerator.clear_cache()
+    cfg_a = SimulationConfig(mesh_min_points=300, mesh_target_points=1200)
+    cfg_b = SimulationConfig(mesh_min_points=900, mesh_target_points=3600)
+    ga = MeshGenerator.generate(g, 0.5, cfg_a)
+    gb = MeshGenerator.generate(g, 0.5, cfg_b)
+    assert gb.n_points > ga.n_points
+    # and the cache still hits for an identical request
+    ga2 = MeshGenerator.generate(g, 0.5, cfg_a)
+    assert ga2 is ga
