@@ -63,6 +63,25 @@ def lp_modes(V: float, n_core: float, n_clad: float,
 
 def _vector_char(neff: float, k0: float, a: float, n1: float, n2: float,
                  nu: int) -> float:
+    """Exact hybrid-mode dispersion (HE/EH), symmetric form.
+
+    Derived from the 4x4 interface-continuity system of the (Ez, Hz)
+    potentials: with D(X) = X_core - X_clad and gamma^2 the signed
+    transverse wavenumber squared per region,
+
+        (beta nu / a)^2 [D(1/gamma^2)]^2
+            = k0^2  D(f'/gamma^2)  D(n^2 f'/gamma^2)
+
+    which reduces to the form below. NOTE: a commonly transcribed
+    variant replaces the squared factor (1/u^2 + 1/w^2)^2 by
+    (1/u^2 + 1/w^2)(1/u^2 + (n2/n1)^2/w^2); that root does NOT satisfy
+    the interface conditions — verified numerically in this repo by
+    constructing the full fields at both candidate roots and checking
+    Maxwell + continuity (H fully continuous, E_r jumping by exactly
+    (n1/n2)^2) to machine precision; only the symmetric form's root
+    passes. At n2 -> n1 the two coincide (weak guidance), which is why
+    the error is invisible in low-contrast checks.
+    """
     u = a * np.sqrt(max(k0**2 * n1**2 - k0**2 * neff**2, 1e-300))
     w = a * np.sqrt(max(k0**2 * neff**2 - k0**2 * n2**2, 1e-300))
     J = jv(nu, u)
@@ -71,8 +90,7 @@ def _vector_char(neff: float, k0: float, a: float, n1: float, n2: float,
     Kp = kvp(nu, w)
     A = Jp / (u * J) + Kp / (w * K)
     B = Jp / (u * J) + (n2 / n1) ** 2 * Kp / (w * K)
-    rhs = (nu**2) * (1 / u**2 + 1 / w**2) * \
-        (1 / u**2 + (n2 / n1) ** 2 / w**2) * (neff / n1) ** 2
+    rhs = (nu**2) * ((1 / u**2 + 1 / w**2) ** 2) * (neff / n1) ** 2
     return A * B - rhs
 
 

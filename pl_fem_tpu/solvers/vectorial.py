@@ -425,7 +425,7 @@ class TrueVectorialMaxwellSolver:
         k = min(n_modes_target + scfg.extra_vectors, n)
         if boot is not None:
             X = boot[0]
-            cheb_passes_eff = 1      # bootstrapped subspace: 1 pass + stall
+            cheb_passes_eff = max(1, scfg.bootstrap_fine_passes)
         else:
             X = jax.random.normal(jax.random.PRNGKey(11), (3 * Dp, B, k),
                                   dtype=jnp.float32)
