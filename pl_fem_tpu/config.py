@@ -42,13 +42,15 @@ class SolverConfig:
     # (cuts fine filter passes and centers beta without a beta pass)
     bootstrap: bool = True
     bootstrap_min_dofs: int = 6000  # fine problems below this skip it
-    # fine filter passes applied to the prolonged subspace. ONE pass
-    # leaves a measured ~4e-4 relative n_eff bias at production size
-    # (the prolonged subspace's angle error survives a single pass);
-    # TWO passes recover the no-bootstrap accuracy (~2e-6) at a
-    # fraction of the random-init cost. Set to 1 only when dataset
-    # throughput matters more than the last 4e-4.
-    bootstrap_fine_passes: int = 2
+    # fine filter passes per OUTER (beta) round on the prolonged
+    # subspace; 1 suffices — accuracy comes from beta_passes >= 2
+    # (see solve_sweep), not from deeper in-round filtering.
+    bootstrap_fine_passes: int = 1
+    # outer-round stop: the polished roots' full-space quadratic
+    # residual must fall below this (relative to k0^2 |h|); the
+    # beta-drift criterion alone froze bootstrapped solves one round
+    # too early (measured ~4e-4 n_eff bias at production size)
+    polish_qres_tol: float = 2e-5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -290,7 +290,15 @@ class TrueVectorialMaxwellSolver:
         betas0 = np.zeros(B)
         used = np.zeros(B, dtype=bool)
         for b, ms in enumerate(results_c):
-            nm = min(len(ms), k)
+            # Seed only HALF the columns from the coarse modes: the
+            # prolonged columns share the prolongation's error
+            # directions (correlated), so a fully-prolonged span pools
+            # into nothing new and the polished root stays first-order
+            # in that error (measured ~3e-4 at production size). The
+            # random half carries independent error directions, letting
+            # the pooled f64 polish cancel to second order (measured
+            # qres 1.3e-4 -> ~1e-5, n_eff error -> ~2e-6).
+            nm = min(len(ms), max(k // 2, k - 8))
             if nm == 0:
                 col = rng.standard_normal((3 * Dp, k))
                 X0[:, b, :] = col / np.linalg.norm(col, axis=0)
@@ -304,6 +312,17 @@ class TrueVectorialMaxwellSolver:
                     P @ Hc[c * nc:(c + 1) * nc]
             if nm < k:
                 X0[:, b, nm:] = rng.standard_normal((3 * Dp, k - nm))
+            X0[:, b, :] /= (np.linalg.norm(X0[:, b, :], axis=0) + 1e-30)
+            # A Chebyshev filter is a polynomial of the operator: it can
+            # only SHRINK a span, never add directions. A fully
+            # prolonged seed therefore freezes the prolongation's
+            # missing component permanently (measured: production-size
+            # qres plateaus at ~1.7e-4 regardless of degree or rounds).
+            # A small random blend seeds every direction; one fine pass
+            # crushes its out-of-band part while the warm start is
+            # preserved.
+            X0[:, b, :] += 0.05 * rng.standard_normal((3 * Dp, k)) \
+                / np.sqrt(3 * Dp)
             X0[:, b, :] /= (np.linalg.norm(X0[:, b, :], axis=0) + 1e-30)
             betas0[b] = float(np.median([m["beta"] for m in ms]))
             used[b] = True
@@ -380,13 +399,17 @@ class TrueVectorialMaxwellSolver:
             g.k0 * lp01_neff_estimate(g.k0, float(np.mean(g.core_radii)),
                                       g.n_core, g.n_clad)
             for g in geometries])
+        # NOTE: bootstrapped solves MUST still honor beta_passes. The
+        # round-1 shortcut (skip fine beta rounds because the coarse
+        # betas are polish-accurate) left a measured ~4e-4 relative
+        # n_eff bias at production size: the bias is not in beta but in
+        # the SUBSPACE — the second outer round's refilter + pooled
+        # polish is what removes the prolonged subspace's angle error
+        # (extra in-pass filtering does not; measured boot_ab.py).
         beta_passes_eff = max(1, scfg.beta_passes)
         if boot is not None:
             _, betas_c, used_c = boot
             betas = np.where(used_c, betas_c, betas)
-            if used_c.all():
-                # coarse betas are polish-accurate; skip fine beta passes
-                beta_passes_eff = 1
         cuts = np.array([min(b**2 / g.n_clad**2, 1.35 * g.k0**2)
                          for b, g in zip(betas, geometries)])
         parks = 10.0 * np.maximum(cuts, 1.0)
@@ -433,26 +456,49 @@ class TrueVectorialMaxwellSolver:
         pooled = [None] * B
 
         results = [[] for _ in range(B)]
-        for ip in range(beta_passes_eff):
+        # beta_passes is the MINIMUM round count; when >= 2 (accuracy
+        # mode) the qres gate may extend up to max_rounds until the
+        # polished roots certify, with a stall detector. beta_passes=1
+        # is the explicit fast mode (dataset throughput; ~4e-4 root
+        # bias on bootstrapped production solves, below the reference
+        # formulation's own ~6e-4 model error at air-clad contrast).
+        max_rounds = beta_passes_eff if beta_passes_eff == 1 \
+            else max(beta_passes_eff, 6)
+        prev_qworst = np.inf
+        for ip in range(max_rounds):
             # residual gate only on the modes the caller needs (theta is
             # ascending; the physical cluster sits at the bottom) — the
             # near-cut junk lanes converge slowest and would otherwise
             # burn whole extra filter passes
             n_gate = min(k, n_modes_target + 4)
-            # Bootstrapped subspaces plateau after ONE pass (measured:
-            # pass 1 at deg 300 left maxres at ~3.6e-3 and a second pass
-            # made it *worse*), so cap the adaptive driver instead of
-            # paying a full extra pass for its stall detector to notice.
-            mp = cheb_passes_eff if boot is not None else 8
+            # The in-pass driver self-gates (stops on residual tol or
+            # <30%-improvement stall) — bootstrapped rounds get the
+            # same ceiling as random-init ones. (A round-1 hard cap of
+            # one pass left the prolonged subspace's qres plateaued at
+            # ~1.7e-4 regardless of filter degree or outer rounds.)
+            mp = 8
+            # The f32 filter has a systematic subspace-error floor
+            # (~3e-3 apply residual at production bounds) whose
+            # DIRECTION depends on the expansion beta. Rounds filtered
+            # at one beta pool correlated errors that the f64 polish
+            # cannot cancel (measured plateau: qres ~1.6e-4, n_eff
+            # ~3e-4 biased); alternating a small beta jitter between
+            # rounds decorrelates them and the pooled polish cancels
+            # to second order (qres ~1e-5, n_eff ~2e-6). The jitter is
+            # physical-scale-free: the polish solves the full quadratic
+            # pencil, so the filter beta only shapes the subspace.
+            _jit = (0.0, 2e-3, -2e-3, 4e-3, -4e-3, 6e-3)[ip % 6]
             with timer.phase("filter"):
                 theta, Xr, res = solve_lowest_sweep(
-                    qs, gs, ga.interior_mask, diag, X, cuts, betas,
+                    qs, gs, ga.interior_mask, diag, X, cuts,
+                    betas * (1.0 + _jit),
                     scfg.alpha_penalty, bounds, degree=scfg.cheb_degree,
                     passes=cheb_passes_eff, tol=scfg.scalar_tol,
                     parks=parks, n_wanted=n_gate, max_passes=mp,
                     binv_degree=scfg.binv_degree)
                 Xh_all = np.asarray(Xr, dtype=np.float64)
             beta_new = betas.copy()
+            qworst = 0.0
             for bix, g in enumerate(geometries):
                 Xh = Xh_all[:, bix, :]
                 Xh = np.concatenate(
@@ -475,8 +521,10 @@ class TrueVectorialMaxwellSolver:
                     # solver_fem.py:196 — same cardinality contract).
                     keep = np.argsort(qres)[:k]
                     keep = keep[np.argsort(-bts[keep])]
-                    bts, H = bts[keep], H[:, keep]
+                    bts, H, qres = bts[keep], H[:, keep], qres[keep]
                 if len(bts):
+                    qworst = max(qworst,
+                                 float(qres[:n_modes_target].max()))
                     beta_new[bix] = float(np.median(bts))
                     hx, hy, hz = H[:n], H[n:2 * n], H[2 * n:]
                     if _raw_modes:
@@ -495,8 +543,20 @@ class TrueVectorialMaxwellSolver:
                     with timer.phase("postproc"):
                         results[bix] = solver._postprocess(
                             hv, dg, bts, hx, hy, hz, n_modes_target)
-            if ip + 1 < beta_passes_eff and \
-                    np.abs(beta_new - betas).max() > 1e-6:
+            # Continue while EITHER beta still moves OR the polished
+            # roots' full-space quadratic residual is above tolerance.
+            # The beta-only criterion silently froze bootstrapped
+            # production solves after one round (coarse betas are
+            # already sub-1e-6) with the prolonged subspace's ~4e-4
+            # root bias intact — qres is the honest certificate of the
+            # ROOT, independent of how beta was seeded.
+            logger.debug("sweep round %d: qworst=%.2e dbeta=%.2e", ip,
+                         qworst, np.abs(beta_new - betas).max())
+            beta_stable = np.abs(beta_new - betas).max() <= 1e-6
+            converged = beta_stable and qworst <= scfg.polish_qres_tol
+            stalled = beta_stable and qworst > 0.7 * prev_qworst
+            prev_qworst = qworst
+            if ip + 1 < max_rounds and not converged and not stalled:
                 betas = beta_new
                 cuts = np.array([min(b**2 / g.n_clad**2, 1.35 * g.k0**2)
                                  for b, g in zip(betas, geometries)])

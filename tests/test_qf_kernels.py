@@ -20,8 +20,14 @@ from pl_fem_tpu.ops.femgrid import MeshGenerator, export_device_grid
 
 @pytest.fixture(scope="module")
 def setup():
+    # straight-interface mesh: the single-design QF path reconstructs
+    # gradients from the AFFINE per-element J (QFactor.invJT) and is
+    # kept for reference/microbenchmarks only — the production sweep
+    # path (QFactorSweep.gp) uses the per-quadrature-point tables and
+    # supports curved isoparametric interface elements
     cfg = SimulationConfig(mesh_min_points=200, mesh_target_points=900,
-                           mesh=MeshConfig(bucket_rounding=128))
+                           mesh=MeshConfig(bucket_rounding=128,
+                                           curved_interfaces=False))
     geom = MCFGeometry(3, 8.0, 1.3, 1.53, 1.0, wavelength_um=1.55)
     MeshGenerator.clear_cache()
     grid = MeshGenerator.generate(geom, 0.35, cfg)
@@ -67,8 +73,11 @@ def test_sweep_matches_single_design(setup):
     from pl_fem_tpu.solvers import TrueVectorialMaxwellSolver
 
     geom, dg, ga, ea = setup
+    # beta_passes=2 lets the qres-gated outer loop converge each
+    # path's root; at one round the two paths' different random
+    # subspaces land ~5e-4 apart on this coarse mesh (deg 100)
     cfg = SimulationConfig(solver=SolverConfig(
-        backend="tpu", cheb_degree=100, cheb_passes=3, beta_passes=1))
+        backend="tpu", cheb_degree=100, cheb_passes=3, beta_passes=2))
     geoms = [
         MCFGeometry(3, 8.0, 1.3, 1.53, 1.0, wavelength_um=1.55),
         MCFGeometry(3, 8.0, 1.3, 1.55, 1.0, wavelength_um=1.60),
