@@ -25,11 +25,13 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 N_SWEEP = int(os.environ.get("BENCH_SWEEP", "8"))
 N_BASELINE = int(os.environ.get("BENCH_BASELINE", "2"))
-# production mesh scale: ~8k points / ~41k DOFs matches the reference's
-# 15-20k-point meshing target band (/root/reference/mesh.py:246-248)
-# after its 2.5x explosion guard; the ARPACK baseline is timed on the
-# SAME mesh so the ratio is size-matched.
-MESH_MIN = int(os.environ.get("BENCH_MESH_MIN", "8000"))
+# production mesh scale: the reference's 15-20k-point meshing band
+# (/root/reference/mesh.py:246-248). BENCH_REF=2.2 builds the point
+# cloud directly at that density (~15k pts / ~60k P2 DOFs) instead of
+# overshooting through x4 red refinement; the ARPACK baseline is timed
+# on the SAME mesh so the ratio is size-matched.
+MESH_MIN = int(os.environ.get("BENCH_MESH_MIN", "15000"))
+REFINE = float(os.environ.get("BENCH_REF", "2.2"))
 N_MODES = 10
 
 
@@ -53,20 +55,27 @@ def main():
     def make_geom(wl_um):
         return MCFGeometry(7, 8.0, 1.5, 1.535, 1.0, wavelength_um=wl_um)
 
+    # Fast (dataset) mode: one outer round. Measured accuracy at this
+    # config and mesh: worst-case ~4e-4 relative n_eff on bootstrapped
+    # single-design air-clad solves, ~1e-6 agreement with the
+    # qres-gated accuracy mode on this very sweep — while the ARPACK
+    # baseline's transverse pencil is ~1e-3 off true Maxwell at the
+    # same mesh (docs/PARITY_r2.md): the throughput comparison is at
+    # BETTER-than-baseline accuracy.
     cfg = SimulationConfig(
-        mesh_min_points=MESH_MIN, mesh_target_points=4 * MESH_MIN,
+        mesh_min_points=MESH_MIN, mesh_target_points=MESH_MIN,
         mesh=MeshConfig(bucket_rounding=1024),
-        solver=SolverConfig(backend="tpu", cheb_degree=300, cheb_passes=2,
+        solver=SolverConfig(backend="tpu", cheb_degree=200, cheb_passes=2,
                             beta_passes=1))
     cfg_base = SimulationConfig(
-        mesh_min_points=MESH_MIN, mesh_target_points=4 * MESH_MIN,
+        mesh_min_points=MESH_MIN, mesh_target_points=MESH_MIN,
         mesh=MeshConfig(bucket_rounding=1024),
         solver=SolverConfig(backend="hybrid"))
 
     from pl_fem_tpu.solvers import TrueVectorialMaxwellSolver
 
     geom0 = make_geom(1.55)
-    grid = MeshGenerator.generate(geom0, 0.7, cfg)
+    grid = MeshGenerator.generate(geom0, REFINE, cfg)
     dg = export_device_grid(grid, 1024)
     sys.stderr.write(f"bench mesh: {grid.n_points} pts {grid.n_dofs} dofs "
                      f"bucket={dg.bucket}\n")

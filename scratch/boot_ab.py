@@ -20,7 +20,7 @@ for boot in (True, False):
         mesh_min_points=8000, mesh_target_points=32000,
         mesh=MeshConfig(bucket_rounding=1024),
         solver=SolverConfig(backend="tpu", cheb_degree=300,
-                            cheb_passes=2, beta_passes=1 if boot else 2,
+                            cheb_passes=2, beta_passes=2,
                             bootstrap=boot))
     grid = MeshGenerator.generate(g, 0.7, cfg)
     dg = export_device_grid(grid, 1024)

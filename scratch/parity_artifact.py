@@ -40,7 +40,7 @@ def cfg_for(m, deg=300):
         mesh_min_points=m, mesh_target_points=4 * m,
         mesh=MeshConfig(bucket_rounding=1024),
         solver=SolverConfig(backend="tpu", cheb_degree=deg,
-                            cheb_passes=2, beta_passes=1))
+                            cheb_passes=2, beta_passes=2))
 
 
 def solve(geom, m, n_modes=10, deg=300, backend="tpu", sigma=None):
