@@ -55,13 +55,12 @@ def main():
     def make_geom(wl_um):
         return MCFGeometry(7, 8.0, 1.5, 1.535, 1.0, wavelength_um=wl_um)
 
-    # Fast (dataset) mode: one outer round. Measured accuracy at this
-    # config and mesh: worst-case ~4e-4 relative n_eff on bootstrapped
-    # single-design air-clad solves, ~1e-6 agreement with the
-    # qres-gated accuracy mode on this very sweep — while the ARPACK
-    # baseline's transverse pencil is ~1e-3 off true Maxwell at the
-    # same mesh (docs/PARITY_r2.md): the throughput comparison is at
-    # BETTER-than-baseline accuracy.
+    # Fast (dataset) mode: one outer round, one bootstrapped fine
+    # pass. Measured n_eff accuracy at this mesh: ~8e-4 relative —
+    # the same error class as the ARPACK baseline's transverse pencil
+    # on the identical mesh (~+1e-3, which includes a ~6e-4 model
+    # error no refinement removes; docs/PARITY_r2.md). The accuracy
+    # mode (beta_passes>=2) reaches ~2e-6 at several times the cost.
     cfg = SimulationConfig(
         mesh_min_points=MESH_MIN, mesh_target_points=MESH_MIN,
         mesh=MeshConfig(bucket_rounding=1024),

@@ -254,25 +254,57 @@ class TrueVectorialMaxwellSolver:
 
         fine_pts = max(n // 4, 1)
         coarse_min = max(500, fine_pts // 6)
+        # the coarse solve only seeds a subspace: in fast mode it runs
+        # one beta round too (2e-6-grade coarse roots are wasted on a
+        # seed and the qres-gated loop would burn up to 6 rounds)
+        coarse_bp = 2 if scfg.beta_passes >= 2 else 1
         coarse_cfg = dc.replace(
             cfg, mesh_min_points=coarse_min,
             mesh_target_points=4 * coarse_min,
             mesh=dc.replace(cfg.mesh, bucket_rounding=256),
             solver=dc.replace(scfg, bootstrap=False,
                               cheb_degree=max(100, scfg.cheb_degree // 2),
-                              cheb_passes=2, beta_passes=2))
+                              cheb_passes=2, beta_passes=coarse_bp))
         try:
             # The point cloud's size is set by the refinement factor (the
             # config's min-points only ever refines upward), so walk
             # refinement DOWN until the mesh is genuinely coarser than
-            # the fine grid; the fan-density floors in the cloud builder
-            # put a lower bound on how coarse a multicore mesh can get.
+            # the fine grid. The x4 red-refinement granularity can
+            # overshoot n//3 for EVERY candidate when the fine mesh
+            # came from a dense direct cloud (fan-density floors bound
+            # the cloud from below) — the min-points=500 rungs accept
+            # the raw cloud with no refinement at all, which is still a
+            # fine subspace seed.
             grid_c = None
-            for ref_c in (0.5, 0.4, 0.3, 0.25):
-                cand = MeshGenerator.generate(g0, ref_c, coarse_cfg)
-                if cand.n_dofs <= n // 3:
-                    grid_c = cand
-                    break
+            fallback = None
+            if scfg.beta_passes == 1:
+                # fast mode: final accuracy is set by the single fine
+                # pass, not the seed (measured identical ~8e-4 with a
+                # 6k-dof cloud seed and a 27k-dof half-size seed at the
+                # 60k-DOF bench mesh) — take the cheapest coarse grid
+                for ref_c in (0.4, 0.3):
+                    ccfg = dc.replace(coarse_cfg, mesh_min_points=500,
+                                      mesh_target_points=2000)
+                    cand = MeshGenerator.generate(g0, ref_c, ccfg)
+                    if cand.n_dofs <= n // 3:
+                        grid_c = cand
+                        break
+            if grid_c is None:
+                for ref_c in (0.5, 0.4, 0.3, 0.25):
+                    cand = MeshGenerator.generate(g0, ref_c, coarse_cfg)
+                    if cand.n_dofs <= n // 3:
+                        grid_c = cand
+                        break
+                    if cand.n_dofs * 2.2 <= n and (
+                            fallback is None
+                            or cand.n_dofs < fallback.n_dofs):
+                        fallback = cand
+            if grid_c is None:
+                # a half-size coarse grid is a BETTER seed than a tiny
+                # raw cloud (h-ratio ~1.5 vs ~4) for the accuracy mode's
+                # qres-gated rounds, at a coarse solve still ~3x cheaper
+                # than a fine pass
+                grid_c = fallback
             if grid_c is None:
                 return None
             results_c = cls.solve_sweep(geometries, grid_c,
@@ -471,12 +503,15 @@ class TrueVectorialMaxwellSolver:
             # near-cut junk lanes converge slowest and would otherwise
             # burn whole extra filter passes
             n_gate = min(k, n_modes_target + 4)
-            # The in-pass driver self-gates (stops on residual tol or
-            # <30%-improvement stall) — bootstrapped rounds get the
-            # same ceiling as random-init ones. (A round-1 hard cap of
-            # one pass left the prolonged subspace's qres plateaued at
-            # ~1.7e-4 regardless of filter degree or outer rounds.)
-            mp = 8
+            # Accuracy mode: the in-pass driver self-gates (residual
+            # tol or <30%-improvement stall; note it always runs >= 2
+            # passes since the f32 floor never reaches tol). Fast mode
+            # (beta_passes=1) with a bootstrap seed hard-caps at
+            # bootstrap_fine_passes — the warm subspace makes pass 2 a
+            # near-no-op there, and the cap is what the bootstrap's
+            # speedup consists of.
+            mp = max(1, scfg.bootstrap_fine_passes) \
+                if (boot is not None and beta_passes_eff == 1) else 8
             # The f32 filter has a systematic subspace-error floor
             # (~3e-3 apply residual at production bounds) whose
             # DIRECTION depends on the expansion beta. Rounds filtered
