@@ -72,10 +72,20 @@ class TriMesh:
         uniq, inv = np.unique(e, axis=0, return_inverse=True)
         return uniq, inv.reshape(-1, 3)
 
-    def refined(self) -> "TriMesh":
-        """Uniform red refinement: every triangle into four."""
+    def refined(self, circles=None) -> "TriMesh":
+        """Uniform red refinement: every triangle into four.
+
+        ``circles`` ((C, 3) rows x, y, r): edge-split points whose edge
+        lies on a material circle are placed on the ARC, keeping every
+        interface vertex exactly on the circle across refinement levels
+        (the geometric half of isoparametric interface elements).
+        """
         uniq, elem2edge = self.edges()
         mids = 0.5 * (self.points[uniq[:, 0]] + self.points[uniq[:, 1]])
+        if circles is not None:
+            mids = snap_mids_to_circles(self.points[uniq[:, 0]],
+                                        self.points[uniq[:, 1]], mids,
+                                        circles)
         m = self.n_points + elem2edge  # (T,3) midpoint ids
         t = self.tris
         children = np.concatenate([
@@ -86,14 +96,15 @@ class TriMesh:
         ], axis=0)
         return TriMesh(np.vstack([self.points, mids]), children)
 
-    def refined_marked(self, marked: np.ndarray) -> "TriMesh":
+    def refined_marked(self, marked: np.ndarray,
+                       circles=None) -> "TriMesh":
         """Conforming red-green refinement of the marked elements.
 
         Marked elements are red-refined (4 children); propagation promotes
         any element with >=2 split edges to red; elements left with exactly
         one split edge are green-bisected. Replaces the reference's partial
         ``mesh.refined(0.5)`` step (mesh.py:330-332) with a well-defined
-        conforming algorithm.
+        conforming algorithm. ``circles`` as in :meth:`refined`.
         """
         uniq, elem2edge = self.edges()
         split = np.zeros(len(uniq), dtype=bool)
@@ -112,6 +123,10 @@ class TriMesh:
         mid_id = np.full(len(uniq), -1, dtype=np.int64)
         mid_id[split] = self.n_points + np.arange(split.sum())
         mids = 0.5 * (self.points[uniq[split, 0]] + self.points[uniq[split, 1]])
+        if circles is not None:
+            mids = snap_mids_to_circles(self.points[uniq[split, 0]],
+                                        self.points[uniq[split, 1]],
+                                        mids, circles)
         new_points = np.vstack([self.points, mids])
 
         t, m = self.tris, mid_id[elem2edge]  # m: (T,3), -1 where unsplit
@@ -201,9 +216,15 @@ def adaptive_point_cloud(geometry, refinement: float = 1.0) -> np.ndarray:
         # core interior: uniform spacing ~ r / (5.5 * refinement)
         h_core = r / max(5.5 * refinement, 3.0)
         radii_in = np.arange(0.0, 0.90 * r - 0.25 * h_core, h_core)
-        # interface band [0.90r, 1.30r]: finest spacing ~ r / (9 * refinement)
+        # interface band [0.90r, 1.30r]: finest spacing ~ r / (9 * refinement),
+        # ANCHORED on the interface — one ring sits at exactly r, so the
+        # eps jump runs along element edges (conforming; curvable onto
+        # the arc by snap_mids_to_circles) instead of cutting through
+        # element interiors, which costs an O(h) consistency error
         h_int = r / max(9.0 * refinement, 5.0)
-        radii_ifc = np.arange(max(0.90 * r, h_int), 1.30 * r, h_int)
+        k = np.arange(-int(np.floor(0.10 * r / h_int)),
+                      int(np.floor(0.30 * r / h_int)) + 1)
+        radii_ifc = r + h_int * k
         # graded escape: geometric growth from h_int to h_far
         radii_out = []
         rr, h = radii_ifc[-1] if len(radii_ifc) else 1.3 * r, h_int
@@ -298,11 +319,59 @@ class FEMGrid:
         return self.mesh.n_points
 
 
-def build_p2_grid(mesh: TriMesh) -> FEMGrid:
+def snap_mids_to_circles(a: np.ndarray, b: np.ndarray, mids: np.ndarray,
+                         circles, max_chord_frac: float = 0.8,
+                         tol_rel: float = 1e-6) -> np.ndarray:
+    """Place midpoints of on-circle edges onto the circular ARC.
+
+    ``a``/``b``: edge endpoints, ``mids``: straight midpoints (all
+    (E, 2)); ``circles``: (C, 3) rows (x, y, r) of material interfaces.
+    An edge is on a circle when both endpoints are within ``tol_rel*r``
+    of it (the point cloud and circle-aware refinement place interface
+    vertices exactly on circles) and its chord is shorter than
+    ``max_chord_frac*r`` (rejects far-apart chord pairs). The snapped
+    midpoint is the arc point — the geometric half of isoparametric
+    P2 interface elements; the P2 element map then resolves the curved
+    interface to O(h^3) instead of the straight chord's O(h^2) (the
+    dominant n_eff discretization-error term at high index contrast).
+    No reference analog: the reference meshes straight elements only
+    (/root/reference/mesh.py:246-332).
+    """
+    mids = np.array(mids, copy=True)
+    for cx, cy, r in np.asarray(circles, dtype=np.float64):
+        c = np.array([cx, cy])
+        tol = tol_rel * max(r, 1e-12)
+        on = ((np.abs(np.linalg.norm(a - c, axis=1) - r) < tol)
+              & (np.abs(np.linalg.norm(b - c, axis=1) - r) < tol)
+              & (np.linalg.norm(a - b, axis=1) < max_chord_frac * r))
+        if not on.any():
+            continue
+        idx = np.nonzero(on)[0]
+        v = mids[idx] - c
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        good = n[:, 0] > 1e-12 * r
+        mids[idx[good]] = c + r * (v[good] / n[good])
+    return mids
+
+
+def geometry_circles(geometry) -> Optional[np.ndarray]:
+    """Material-interface circles of a geometry ((C, 3) x, y, r)."""
+    pos = np.asarray(getattr(geometry, "positions", None))
+    rad = np.asarray(getattr(geometry, "core_radii", None))
+    if pos is None or rad is None or pos.size == 0:
+        return None
+    return np.column_stack([pos[:, 0], pos[:, 1], rad])
+
+
+def build_p2_grid(mesh: TriMesh, circles=None) -> FEMGrid:
     uniq, elem2edge = mesh.edges()
     nv = mesh.n_points
     elem_dofs = np.concatenate([mesh.tris, nv + elem2edge], axis=1)
     mid_coords = 0.5 * (mesh.points[uniq[:, 0]] + mesh.points[uniq[:, 1]])
+    if circles is not None:
+        mid_coords = snap_mids_to_circles(
+            mesh.points[uniq[:, 0]], mesh.points[uniq[:, 1]], mid_coords,
+            circles)
     dof_coords = np.vstack([mesh.points, mid_coords])
 
     counts = np.zeros(len(uniq), dtype=np.int64)
@@ -423,10 +492,49 @@ def export_device_grid(grid: FEMGrid, bucket_rounding: int = 4096,
         np.stack([-J[:, 0, 1], J[:, 0, 0]], axis=1)], axis=1)
         / detJ[:, None, None])                 # (T,2,2) = J^{-T}
 
-    # physical gradients: grad_phys[e,q,i,:] = invJT[e] @ dN[q,i,:]
-    grad_phys = np.einsum("eab,qib->eqia", invJT, dN)
-    qp_xy = (v0[:, None, :] + np.einsum("eab,qb->eqa", J, qp))
-    qp_w = np.abs(detJ)[:, None] * qw[None, :]
+    # Isoparametric P2 quadrature geometry: the element map uses all 6
+    # nodes, x(xi) = sum_i N_i(xi) x_i, with a per-quadrature-point
+    # Jacobian. For straight elements (midpoints at chord centers) this
+    # reduces EXACTLY to the affine map; elements whose interface
+    # midpoints were snapped onto material circles (snap_mids_to_
+    # circles) get a curved boundary resolved to O(h^3). Every solver
+    # path consumes these per-(e, q) tables, so curvature support is
+    # confined to this export.
+    def _iso_tables(nodes):
+        Jq = np.einsum("tia,qib->tqab", nodes, dN)     # (T, Q, 2, 2)
+        detJq = (Jq[..., 0, 0] * Jq[..., 1, 1]
+                 - Jq[..., 0, 1] * Jq[..., 1, 0])
+        invJTq = np.empty_like(Jq)
+        invJTq[..., 0, 0] = Jq[..., 1, 1]
+        invJTq[..., 0, 1] = -Jq[..., 1, 0]
+        invJTq[..., 1, 0] = -Jq[..., 0, 1]
+        invJTq[..., 1, 1] = Jq[..., 0, 0]
+        invJTq = invJTq / detJq[..., None, None]
+        return Jq, detJq, invJTq
+
+    nodes = grid.dof_coords[grid.elem_dofs]            # (T, 6, 2)
+    _, detJq, invJTq = _iso_tables(nodes)
+    for _ in range(3):
+        bad = np.nonzero(detJq.min(axis=1) <= 0)[0]
+        if len(bad) == 0:
+            break
+        # a snapped arc bulged a sliver element inside-out: revert its
+        # midpoints to the straight chord centers (shared edges revert
+        # consistently for both neighbours) and recompute
+        logger.warning("straightening %d tangled curved elements",
+                       len(bad))
+        for e in bad:
+            for loc in range(3):
+                d = grid.elem_dofs[e, 3 + loc]
+                a_, b_ = grid.mesh.points[
+                    grid.mesh.tris[e, [(loc + 1) % 3, (loc + 2) % 3]]]
+                grid.dof_coords[d] = 0.5 * (a_ + b_)
+        nodes = grid.dof_coords[grid.elem_dofs]
+        _, detJq, invJTq = _iso_tables(nodes)
+
+    grad_phys = np.einsum("tqab,qib->tqia", invJTq, dN)
+    qp_xy = np.einsum("qi,tia->tqa", Nv, nodes)
+    qp_w = np.abs(detJq) * qw[None, :]
 
     E = _round_up(grid.n_elems, bucket_rounding)
     D = _round_up(grid.n_dofs, bucket_rounding)
@@ -559,12 +667,14 @@ class MeshGenerator:
 
     @classmethod
     def _generate(cls, geometry, refinement: float, mc: MeshConfig) -> FEMGrid:
+        circles = geometry_circles(geometry) if mc.curved_interfaces \
+            else None
         pts = adaptive_point_cloud(geometry, refinement)
         mesh = delaunay_mesh(pts)
         it = 0
         while (mesh.n_points < mc.mesh_min_points
                and it < cls.MAX_REFINEMENT_ITERATIONS):
-            mesh = mesh.refined()
+            mesh = mesh.refined(circles=circles)
             it += 1
             if mesh.n_points > mc.mesh_target_points * 2.5:
                 logger.warning("mesh too dense (%d pts), stopping refinement",
@@ -574,8 +684,8 @@ class MeshGenerator:
                 and refinement > 0.8 and it < cls.MAX_REFINEMENT_ITERATIONS):
             areas = mesh.areas()
             marked = np.argsort(areas)[len(areas) // 2:]  # largest 50%
-            mesh = mesh.refined_marked(marked)
-        grid = build_p2_grid(mesh)
+            mesh = mesh.refined_marked(marked, circles=circles)
+        grid = build_p2_grid(mesh, circles=circles)
         logger.info("mesh: %d pts, %d tris, %d P2 DOFs",
                     mesh.n_points, mesh.n_tris, grid.n_dofs)
         return grid
@@ -595,7 +705,8 @@ class MeshGenerator:
             # configs must not alias one cache entry (this silently
             # returned a coarse mesh for a finer request)
             h.update(f"{mc.mesh_min_points}:{mc.mesh_target_points}:"
-                     f"{mc.semi_refine}:{mc.min_edge_factor:.4f}".encode())
+                     f"{mc.semi_refine}:{mc.min_edge_factor:.4f}:"
+                     f"{mc.curved_interfaces}".encode())
         return h.hexdigest()[:24]
 
     @classmethod
