@@ -96,6 +96,13 @@ class SimulationConfig:
     # follows the sampled taper_profile (models/geometry.py
     # ``taper_profile_fraction``).
     cmt_min_scale: float = 0.35
+    # CMT engine knobs (reference seams: /root/reference/config.py
+    # 274-322 'rigorous' FEM-overlap coupling, 163-206 RK45 integrator)
+    cmt_coupling: str = "approximate"   # 'approximate' | 'rigorous'
+    cmt_adaptive: bool = False          # RK45 instead of piecewise expm
+    # overlap fields: full transverse (hx, hy) stack (True) or the
+    # hx component only (False, round-2 behavior)
+    cmt_full_field: bool = True
 
     def derived_mesh(self) -> MeshConfig:
         return dataclasses.replace(

@@ -201,7 +201,15 @@ class DatasetGenerator:
         # 6. quality + performance
         rec.quality_score = self.scorer.score_sample(sample, pmetrics)
         rec.performance_index = rec.calculate_performance_index()
-        rec.coupling_uniformity = 0.95
+        # uniformity of modal confinement across the solved mode set
+        # (was a hardcoded 0.95 through round 2; the reference treats it
+        # as a design input defaulting to 0.95 — we measure it instead)
+        cmean = float(np.mean(confs))
+        rec.coupling_uniformity = float(np.clip(
+            1.0 - np.std(confs) / max(cmean, 1e-9), 0.0, 1.0))
+        if mux.get("success"):
+            rec.coupling_degradation = mux.get("coupling_degradation")
+            rec.crosstalk_penalty = mux.get("geometry_penalty")
         rec.success = (rec.success_geometry and rec.success_physics
                        and rec.success_solver and rec.success_losses)
 
@@ -250,8 +258,8 @@ class DatasetGenerator:
                 logger.debug("%s phases: %s", rec.sample_id, timer.summary())
 
     # ------------------------------------------------------------------
-    def simulate_bucketed(self, samples: Sequence[Dict]
-                          ) -> List[DatasetRecord]:
+    def simulate_bucketed(self, samples: Sequence[Dict],
+                          on_batch=None) -> List[DatasetRecord]:
         """Solve many designs as canonical-grid packed sweeps.
 
         Designs are rescaled into canonical buckets (dataset/bucketing
@@ -260,6 +268,13 @@ class DatasetGenerator:
         finishes with its own physical-frame losses/CMT. Vectorial
         only; replaces the reference's strictly serial per-design loop
         (/root/reference/main.py:343-386) as the TPU-native scale-out.
+
+        ``on_batch(records)`` is called with each batch of finished
+        records as it completes (the validation-failure batch first,
+        then one batch per solved bucket) so long runs checkpoint
+        incrementally — a crash or TPU-worker kill mid-run loses at
+        most the in-flight bucket, matching the serial engine's
+        checkpoint_every semantics.
         """
         from ..utils import PhaseTimer
         from .bucketing import (bucket_key, canonicalize, class_geometry,
@@ -279,6 +294,13 @@ class DatasetGenerator:
                 logger.warning("sample %s failed: %s", rec.sample_id, e)
                 rec.error_msg = str(e)
                 rec.solver_time_s = time.time() - t_start[i]
+
+        prepared_idx = {p[0] for p in prepared}
+        if on_batch is not None:
+            failed = [r for i, r in enumerate(recs)
+                      if i not in prepared_idx]
+            if failed:
+                on_batch(failed)
 
         groups = group_by_bucket([p[2] for p in prepared])
         logger.info("bucketed run: %d samples -> %d buckets",
@@ -302,6 +324,8 @@ class DatasetGenerator:
                 for (i, _, _, _) in members:
                     recs[i].error_msg = f"bucket solve: {e}"
                     recs[i].solver_time_s = time.time() - t_bucket
+                if on_batch is not None:
+                    on_batch([recs[i] for (i, _, _, _) in members])
                 continue
             per_member = (time.time() - t_bucket) / max(len(members), 1)
             for (i, sample, geom, pm), (_, s), modes in zip(members, pairs,
@@ -319,6 +343,8 @@ class DatasetGenerator:
                                    rec.sample_id, e)
                     rec.error_msg = str(e)
                 rec.solver_time_s = per_member + timer.total
+            if on_batch is not None:
+                on_batch([recs[i] for (i, _, _, _) in members])
         return recs
 
     # ------------------------------------------------------------------
@@ -360,6 +386,7 @@ class DatasetGenerator:
         geos_z = [geom.get_tapered(sc * L) for sc in scales_z]
 
         modes_list = []
+        delta_eps_mass = None
         if self.use_vectorial:
             cls_geom = class_geometry(bucket_key(geom), geom)
             grid_t = MeshGenerator.generate(
@@ -369,11 +396,27 @@ class DatasetGenerator:
             pairs = [canonicalize(gz, cls_geom) for gz in geos_z]
             sweeps = TrueVectorialMaxwellSolver.solve_sweep(
                 [c for c, _ in pairs], dg_t, n_modes, self.config)
+            full = bool(self.config.cmt_full_field)
             for z, gz, (_, s), mz in zip(zs, geos_z, pairs, sweeps):
                 mz = rescale_modes(mz, s, gz.k0)
                 for m in mz:
-                    m["field_vector"] = m["Ex_dofs"]
+                    # overlap field: full transverse stack by default
+                    # (the reference integrates the interpolated E
+                    # field, config.py:295-302; hx-only was the r2
+                    # behavior, kept under cmt_full_field=False)
+                    m["field_vector"] = np.concatenate(
+                        [m["Ex_dofs"], m["Ey_dofs"]]) if full \
+                        else m["Ex_dofs"]
                 modes_list.append(mz)
+            if self.config.cmt_coupling == "rigorous":
+                # (eps - mean eps)-weighted mass on the shared bucket
+                # grid: all slices canonicalize onto dg_t, so ONE CSR
+                # serves every segment (reference seam: the per-z skfem
+                # form at config.py:274-322)
+                from ..physics.cmt import delta_eps_mass_csr
+
+                delta_eps_mass = delta_eps_mass_csr(
+                    dg_t, cls_geom.eps_params())
         else:
             for z, gz in zip(zs, geos_z):
                 grid_z = MeshGenerator.generate(
@@ -409,11 +452,17 @@ class DatasetGenerator:
         modes_list = [ml[:n_modes] for ml in modes_list]
 
         omega = 2.0 * np.pi * C_LIGHT / (wl_nm * 1e-9)
-        cmt = CoupledModeTheory(omega)
+        cmt = CoupledModeTheory(omega,
+                                coupling_method=self.config.cmt_coupling)
         A0 = np.zeros(n_modes, dtype=complex)
         A0[0] = 1.0
-        res_mux = cmt.propagate_cmt(zs, modes_list, A0, "mux")
-        res_demux = cmt.propagate_cmt(zs, modes_list, A0, "demux")
+        adaptive = bool(self.config.cmt_adaptive)
+        res_mux = cmt.propagate_cmt(zs, modes_list, A0, "mux",
+                                    use_adaptive=adaptive,
+                                    delta_eps_mass=delta_eps_mass)
+        res_demux = cmt.propagate_cmt(zs, modes_list, A0, "demux",
+                                      use_adaptive=adaptive,
+                                      delta_eps_mass=delta_eps_mass)
         rec.cmt_mux = {k: v for k, v in res_mux.items()
                        if not isinstance(v, np.ndarray)}
         rec.cmt_demux = {k: v for k, v in res_demux.items()
@@ -468,10 +517,11 @@ class DatasetGenerator:
                                       for r in batch) + "\n")
 
         if engine == "sweep" and self.use_vectorial:
-            done = self.simulate_bucketed(pending)
+            # checkpoint per completed bucket (a crash loses at most
+            # the in-flight bucket, like the serial engine's
+            # checkpoint_every)
+            done = self.simulate_bucketed(pending, on_batch=checkpoint)
             records.extend(done)
-            for i in range(0, len(done), max(checkpoint_every, 1)):
-                checkpoint(done[i:i + max(checkpoint_every, 1)])
             n_ok = sum(1 for r in done if r.success)
             logger.info("sweep engine: %d/%d successful", n_ok, len(done))
         else:

@@ -389,12 +389,11 @@ class HostVector3Family:
         ic, il = 1.0 / eps_core, 1.0 / eps_clad
         d = ic * self.d_core + il * self.d_clad + self.d_u
         if eps_params is not None and self.dg is not None:
-            import zlib
-
-            key = (zlib.crc32(np.ascontiguousarray(
-                       eps_params.positions).tobytes()),
-                   zlib.crc32(np.ascontiguousarray(
-                       eps_params.core_radii).tobytes()))
+            # raw bytes as the key: the cache holds <= 16 entries, and a
+            # crc32 collision between two member layouts would silently
+            # reuse the wrong interface correction in the f64 polish
+            key = (np.ascontiguousarray(eps_params.positions).tobytes(),
+                   np.ascontiguousarray(eps_params.core_radii).tobytes())
             if key not in self._corr_cache:
                 if len(self._corr_cache) > 16:
                     self._corr_cache.clear()

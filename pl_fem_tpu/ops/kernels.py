@@ -370,21 +370,6 @@ class QFactorSweep(NamedTuple):
     gp: jax.Array         # (E, Q, 6, 2) physical shape gradients (shared)
 
 
-# Element-einsum precision for the FILTER path only (the Rayleigh-Ritz
-# Gram matmuls always run HIGHEST). HIGHEST = true-f32 passes; HIGH =
-# 3-pass bf16 (~f24, apply error ~1e-5 — still far under the f64-polish
-# recovery threshold); DEFAULT = single bf16 pass (apply error ~1e-2,
-# measured to stall the recurrence — do not use). Overridable for
-# experiments via PL_FEM_FILTER_PRECISION.
-import os as _os
-
-_FILTER_PREC = {
-    "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
-    "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("PL_FEM_FILTER_PRECISION", "highest").lower()]
-
-
 # -- fused-lane layout --------------------------------------------------
 #
 # The sweep recurrence runs in layout (D, 3*B*k): components join designs
@@ -586,8 +571,8 @@ def _sweep_iterate(apply_t, T0, T1, steps, renorm_every):
 
 
 def cheb_sweep_chunk_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
-                          alpha, T0, T1, cuts, bounds, steps: int,
-                          first: bool, binv_degree: int = 4,
+                          alpha, T0, T1, cuts, bounds, steps,
+                          first, binv_degree: int = 4,
                           renorm_every: int = 8):
     """Advance the sweep recurrence by ``steps`` (one bounded dispatch).
 
@@ -597,19 +582,25 @@ def cheb_sweep_chunk_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
     shapes by raising only degree/binv (and disappears when the same
     work is issued as shorter dispatches). State (T0, T1) stays on
     device in the fused-lane layout between calls.
+
+    ``steps`` (int32) and ``first`` (bool) are TRACED so one executable
+    serves every chunk length, every degree and both the opening and
+    continuation chunks — the round-2 static variants compiled three
+    distinct production-shape executables per bucket for no runtime
+    benefit (the loop lowers to while_loop either way).
     """
     D, B, _, k = T0.shape
     apply_t = _sweep_apply_t(qs, gs, mask, dinv_sqrt, lo, hi, parks,
                              betas, alpha, cuts, bounds, D, B, k,
                              binv_degree)
-    if first:
-        T1 = apply_t(T0)
-        steps = steps - 1
+    first = jnp.asarray(first, bool)
+    T1 = jax.lax.cond(first, lambda: apply_t(T0), lambda: T1)
+    steps = jnp.asarray(steps, jnp.int32) - first.astype(jnp.int32)
     return _sweep_iterate(apply_t, T0, T1, steps, renorm_every)
 
 
 cheb_sweep_chunk = partial(jax.jit, static_argnames=(
-    "steps", "first", "binv_degree", "renorm_every"))(cheb_sweep_chunk_impl)
+    "binv_degree", "renorm_every"))(cheb_sweep_chunk_impl)
 
 
 def cheb_sweep_rr_impl(qs, gs, mask, parks, betas, alpha, Xff):
@@ -698,18 +689,19 @@ _DISPATCH_TARGET_S = 10.0
 def cheb_rr_pass_sweep_auto(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
                             alpha, X, cuts, bounds, degree: int = 300,
                             binv_degree: int = 4, renorm_every: int = 8):
-    """Pass driver that splits long recurrences into bounded dispatches."""
+    """Pass driver that splits long recurrences into bounded dispatches.
+
+    Always routes through the chunk + RR executables (never the fused
+    single-dispatch ``cheb_rr_pass_sweep``): with traced chunk lengths
+    exactly TWO programs compile per bucket shape regardless of degree,
+    chunking or pass count — the dominant term in a cold-cache bench
+    warmup (BENCH_r02 post-mortem).
+    """
     CD, B, k = X.shape
     E = qs.w.shape[0]
     est_step = _STEP_COEF * E * B * k * (1 + binv_degree)
     max_steps = max(int(_DISPATCH_TARGET_S / max(est_step, 1e-12)), 8)
-    if degree <= max_steps:
-        return cheb_rr_pass_sweep(
-            qs, gs, mask, dinv_sqrt, lo, hi, parks, betas, alpha, X,
-            cuts, bounds, degree=degree, binv_degree=binv_degree,
-            renorm_every=renorm_every)
-    n_chunks = -(-degree // max_steps)
-    chunk = -(-degree // n_chunks)
+    chunk = min(degree, max_steps)
     chunk = max(((chunk + renorm_every - 1) // renorm_every)
                 * renorm_every, renorm_every)
     T0 = _fused_from_stacked(X.astype(jnp.float32))
@@ -719,8 +711,8 @@ def cheb_rr_pass_sweep_auto(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
         n = min(chunk, degree - done)
         T0, T1 = cheb_sweep_chunk(
             qs, gs, mask, dinv_sqrt, lo, hi, parks, betas, alpha, T0, T1,
-            cuts, bounds, steps=n, first=first, binv_degree=binv_degree,
-            renorm_every=renorm_every)
+            cuts, bounds, np.int32(n), bool(first),
+            binv_degree=binv_degree, renorm_every=renorm_every)
         done += n
         first = False
     return cheb_sweep_rr(qs, gs, mask, parks, betas, alpha, T1)

@@ -159,7 +159,14 @@ def build_rcm_plan(dg, tile: int = 256,
         inside = (local >= 0) & (local < tile)
         st = np.where(inside, local, tile)
         starget[t, : len(js)] = st
-        gsource[t, : len(js)] = dofs - x_start[t]
+        # Elements admitted only by the e_start clamp (window slid below
+        # lo[t] near the array end) are always parked (emax < t*tile),
+        # but their dofs can fall below x_start[t]; route those entries
+        # to the sentinel zero row instead of a negative gather index.
+        # In-tile elements are unaffected: the x window covers [lo, hi).
+        src = dofs - x_start[t]
+        gsource[t, : len(js)] = np.where(
+            (src >= 0) & (src < win_dofs), src, win_dofs)
         # invert to per-dof entry lists (window-local flat entries)
         jj, ll = np.nonzero(inside)
         d_loc = local[jj, ll]

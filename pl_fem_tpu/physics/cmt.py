@@ -207,9 +207,21 @@ class CoupledModeTheory:
             [np.asarray(m["field_vector"]) for m in modes_i], axis=1)
 
         if self.coupling_method == "rigorous" and delta_eps_mass is not None:
+            # fields may stack C components per mode ((C*D, M) with the
+            # scalar (D, D) mass applied per component and summed) —
+            # the full-transverse-field overlap of config.py:295-302.
+            D = delta_eps_mass.shape[0]
+            nc, rem = divmod(fields.shape[0], D)
+            if rem or nc < 1:
+                raise ValueError(
+                    f"field length {fields.shape[0]} is not a multiple of "
+                    f"the delta_eps_mass dimension {D}")
             P = np.real(np.einsum("dm,dm->m", fields.conj(), fields))
-            ME = delta_eps_mass @ fields
-            C = (fields.conj().T @ ME) * (self.omega / 4.0)
+            C = np.zeros((n, n), dtype=complex)
+            for c in range(nc):
+                fc = fields[c * D:(c + 1) * D]
+                C += fc.conj().T @ (delta_eps_mass @ fc)
+            C = C * (self.omega / 4.0)
             C = C / np.sqrt(np.maximum(np.outer(P, P), 1e-15))
             C = C - np.diag(np.diag(C))
             H = H + C

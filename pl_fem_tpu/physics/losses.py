@@ -692,6 +692,12 @@ class LossCalculator(EnhancedLossCalculator):
                 else:
                     PDL_out = PDL_base
                 confs = [m.get("confinement", 0.0) for m in modes]
+                # the vectorial core has no global-metrics block; run
+                # the sectional model's (cheap, jitted) to surface the
+                # same coupling/geometry penalties the scalar route
+                # reports (reference: losses.py:386-415)
+                rs = EnhancedLossCalculator.calculate_sectional_losses(
+                    modes, geometry, dp, direction, wavelength_nm)
                 return {
                     "IL_dB": rv["IL_total"],
                     "MDL_dB": rv["MDL_total"],
@@ -701,6 +707,8 @@ class LossCalculator(EnhancedLossCalculator):
                         EnhancedLossCalculator._calculate_radiation_loss(
                             modes, wavelength_nm),
                     "avg_confinement": float(np.mean(confs)) if confs else 0.0,
+                    "coupling_degradation": rs.get("coupling_degradation"),
+                    "geometry_penalty": rs.get("geometry_penalty"),
                     "n_modes_used": rv["n_modes_used"],
                     "direction": direction,
                     "wavelength_nm": float(wavelength_nm),
@@ -723,6 +731,8 @@ class LossCalculator(EnhancedLossCalculator):
             "crosstalk_dB": rf["Crosstalk"],
             "radiation_loss_dB_per_m": rf["radiation_loss_dB_per_m"],
             "avg_confinement": rf["avg_confinement"],
+            "coupling_degradation": rf.get("coupling_degradation"),
+            "geometry_penalty": rf.get("geometry_penalty"),
             "n_modes_used": rf["n_modes_used"],
             "direction": direction,
             "wavelength_nm": float(wavelength_nm),

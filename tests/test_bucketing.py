@@ -173,6 +173,48 @@ def test_taper_profile_is_physical():
     assert il["linear"] != il["exponential"]
 
 
+def test_rigorous_cmt_reaches_pipeline():
+    """cmt_coupling='rigorous' + cmt_adaptive change IL_CMT end to end
+    (VERDICT r2 #7: the knobs must be wired through the generator, not
+    just available in the library; reference seam config.py:274-322,
+    163-206)."""
+    from pl_fem_tpu.dataset.generator import DatasetGenerator
+
+    base_cfg = dict(
+        mesh_min_points=350, mesh_target_points=1400,
+        mesh=MeshConfig(bucket_rounding=256, refinement=0.5),
+        solver=SolverConfig(backend="tpu", cheb_degree=150,
+                            cheb_passes=3, beta_passes=2,
+                            bootstrap=False),
+        cmt_min_scale=0.6)
+    sample = dict(sample_id="RC", n_cores=2, core_radius_um=1.5,
+                  pitch_um=8.0, delta_n_percent=2.5, wavelength_nm=1550.0,
+                  n_clad=1.44, taper_length_mm=0.03,
+                  taper_profile="linear")
+    il = {}
+    for name, extra in (
+            ("approx", {}),
+            ("rigorous", dict(cmt_coupling="rigorous")),
+            ("adaptive", dict(cmt_adaptive=True))):
+        cfg = SimulationConfig(**base_cfg, **extra)
+        gen = DatasetGenerator(config=cfg, use_vectorial=True,
+                               n_taper_slices=3)
+        rec = gen.simulate_sample({**sample,
+                                   "sample_id": f"RC-{name}"})
+        assert rec.success, rec.error_msg
+        assert rec.IL_CMT_mux_dB is not None, rec.warnings
+        il[name] = rec.IL_CMT_mux_dB
+        if name == "rigorous":
+            # no silent fallback: the result must be tagged rigorous
+            assert rec.cmt_mux.get("coupling_method") == "rigorous"
+    # a different coupling operator moves the propagated IL
+    assert il["rigorous"] != il["approx"]
+    # the adaptive integrator agrees with piecewise expm (both are
+    # integrating the same H(z)): close but not identical
+    assert il["adaptive"] == pytest.approx(il["approx"], abs=5e-3)
+    assert il["adaptive"] != il["approx"]
+
+
 def test_bucketed_engine_matches_serial():
     """simulate_bucketed == serial simulate_sample (solver tol apart)."""
     from pl_fem_tpu.dataset.generator import DatasetGenerator

@@ -87,6 +87,36 @@ def test_invalid_coupling_method():
         CoupledModeTheory(omega=1.0, coupling_method="banana")
 
 
+def test_rigorous_coupling_multicomponent():
+    """Rigorous coupling accepts (C*D, M) stacked fields: the per-
+    component mass applications must sum to the manual two-block
+    computation (config.py:295-302 overlap on the full field)."""
+    rng = np.random.default_rng(3)
+    D, M = 20, 3
+    W = rng.normal(size=(D, D))
+    dem = W + W.T                       # symmetric weight matrix
+    modes = []
+    fields = rng.normal(size=(2 * D, M))
+    for m in range(M):
+        modes.append({"beta": 6.0 - 0.01 * m, "field_vector": fields[:, m]})
+    cmt_r = CoupledModeTheory(omega=4.0, coupling_method="rigorous")
+    H = cmt_r._compute_coupling_matrix(modes, modes, delta_eps_mass=dem)
+    # manual: sum of per-component overlaps, omega/4, P-normalized
+    P = np.einsum("dm,dm->m", fields, fields)
+    C = (fields[:D].T @ dem @ fields[:D]
+         + fields[D:].T @ dem @ fields[D:]) * (4.0 / 4.0)
+    C = C / np.sqrt(np.outer(P, P))
+    C -= np.diag(np.diag(C))
+    expect = np.diag([m["beta"] for m in modes]) + C
+    assert np.allclose(H, expect, atol=1e-12)
+    assert np.allclose(H, H.conj().T)
+    # a non-multiple field length is an error, not silent misuse
+    bad = [{"beta": 6.0, "field_vector": np.ones(D + 1)},
+           {"beta": 5.9, "field_vector": np.ones(D + 1)}]
+    with pytest.raises(ValueError):
+        cmt_r._compute_coupling_matrix(bad, bad, delta_eps_mass=dem)
+
+
 def test_adiabaticity_criterion(cmt):
     z = np.linspace(0.0, 100.0, 11)
     # slowly varying: adiabatic
