@@ -13,10 +13,20 @@ assembled system (the reference itself is not runnable here — its scipy
 /skfem stack is absent — so its own algorithm serves as the baseline).
 
 Prints exactly one JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Budget-proofing (round-3, after BENCH_r02 timed out in warmup): the
+parent process (no jax import) first runs a SMALL-mesh child as cheap
+insurance, then a production-mesh child under the remaining budget
+(``BENCH_BUDGET_S``, default 840 s). Whichever production result
+exists wins; otherwise the small-mesh fallback is printed with
+``"fallback": true``. A SIGTERM/SIGINT from an outer ``timeout`` still
+prints the best JSON seen so far before exiting.
 """
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -33,20 +43,23 @@ N_BASELINE = int(os.environ.get("BENCH_BASELINE", "2"))
 MESH_MIN = int(os.environ.get("BENCH_MESH_MIN", "15000"))
 REFINE = float(os.environ.get("BENCH_REF", "2.2"))
 N_MODES = 10
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "840"))
+# insurance phase: a small mesh whose compiles + solves take ~2 min
+# (3k pts / ~12k dofs; 6k pts measured too slow to finish in 300 s on
+# a cold cache)
+FB_MESH_MIN = int(os.environ.get("BENCH_FB_MESH_MIN", "3000"))
+FB_REFINE = float(os.environ.get("BENCH_FB_REF", "1.0"))
 
 
-def main():
+def child_main():
+    """One full bench at the configured mesh; prints one JSON line."""
     import numpy as np
 
     import jax
-    # persistent compile cache: repeat driver runs skip the large
-    # one-time XLA compile of the packed sweep kernels
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          str(Path(__file__).parent / ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    # belt-and-braces: the package __init__ already points the
+    # persistent XLA compile cache at ~/.cache/pl_fem_tpu/xla (env
+    # PL_FEM_COMPILE_CACHE overrides); do not fight it here — two
+    # processes racing different cache dirs was a round-2 bug.
 
     from pl_fem_tpu.config import MeshConfig, SimulationConfig, SolverConfig
     from pl_fem_tpu.models import MCFGeometry
@@ -56,11 +69,12 @@ def main():
         return MCFGeometry(7, 8.0, 1.5, 1.535, 1.0, wavelength_um=wl_um)
 
     # Fast (dataset) mode: one outer round, one bootstrapped fine
-    # pass. Measured n_eff accuracy at this mesh: ~8e-4 relative —
-    # the same error class as the ARPACK baseline's transverse pencil
-    # on the identical mesh (~+1e-3, which includes a ~6e-4 model
-    # error no refinement removes; docs/PARITY_r2.md). The accuracy
-    # mode (beta_passes>=2) reaches ~2e-6 at several times the cost.
+    # pass. Measured n_eff accuracy at the production mesh: ~8e-4
+    # relative — the same error class as the ARPACK baseline's
+    # transverse pencil on the identical mesh (~+1e-3, which includes a
+    # ~6e-4 model error no refinement removes; docs/PARITY_r2.md). The
+    # accuracy mode (beta_passes>=2) reaches ~2e-6 at ~2x the cost
+    # (per-design round exit, round 3).
     cfg = SimulationConfig(
         mesh_min_points=MESH_MIN, mesh_target_points=MESH_MIN,
         mesh=MeshConfig(bucket_rounding=1024),
@@ -117,8 +131,99 @@ def main():
         "value": round(rate, 2),
         "unit": "designs/hour/chip",
         "vs_baseline": round(rate / base_rate, 2),
-    }))
+        "mesh_points": grid.n_points,
+        "n_dofs": grid.n_dofs,
+        "warmup_s": round(warmup_s, 1),
+        "per_design_s": round(per_design, 2),
+        "baseline_per_design_s": round(base_per_design, 2),
+    }), flush=True)
+
+
+def _run_child(env_extra, timeout_s):
+    """Run one child bench; return its parsed JSON line or None."""
+    env = dict(os.environ)
+    env.update({k: str(v) for k, v in env_extra.items()})
+    env["BENCH_CHILD"] = "1"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired as e:
+        sys.stderr.write(f"bench child timed out after {timeout_s:.0f}s\n")
+        tail = (e.stderr or b"")
+        if isinstance(tail, bytes):
+            tail = tail.decode(errors="replace")
+        sys.stderr.write(tail[-800:] + "\n")
+        return None
+    sys.stderr.write(proc.stderr[-2000:] + "\n")
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main():
+    t_start = time.time()
+    best = {}          # best[0] holds the best JSON dict seen so far
+    printed = []
+
+    def emit(result):
+        if printed:
+            return
+        printed.append(True)
+        print(json.dumps(result), flush=True)
+
+    def on_signal(signum, frame):
+        # an outer `timeout` sent TERM/INT: print what we have so the
+        # driver's parse finds a JSON line even on rc=124
+        if best:
+            emit(best[0])
+        else:
+            emit({"metric": "designs_per_hour_7core_hex_10modes",
+                  "value": 0.0, "unit": "designs/hour/chip",
+                  "vs_baseline": 0.0, "error": f"signal {signum} before "
+                  "any phase completed"})
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+
+    # Phase A — small-mesh insurance (cheap compiles, ~2 min)
+    fb_timeout = min(300.0, 0.45 * BUDGET_S)
+    res = _run_child({"BENCH_MESH_MIN": FB_MESH_MIN,
+                      "BENCH_REF": FB_REFINE}, fb_timeout)
+    if res is not None:
+        res_fb = dict(res)
+        res_fb["fallback"] = True
+        best[0] = res_fb
+        sys.stderr.write(f"fallback result ready: {res_fb}\n")
+
+    # Phase B — production mesh under the remaining budget
+    remaining = BUDGET_S - (time.time() - t_start) - 10.0
+    if remaining >= 180.0:
+        res = _run_child({"BENCH_MESH_MIN": MESH_MIN,
+                          "BENCH_REF": REFINE}, remaining)
+        if res is not None:
+            best[0] = res
+    else:
+        sys.stderr.write(f"skipping production phase: only "
+                         f"{remaining:.0f}s left of BENCH_BUDGET_S="
+                         f"{BUDGET_S:.0f}\n")
+
+    if best:
+        emit(best[0])
+    else:
+        emit({"metric": "designs_per_hour_7core_hex_10modes",
+              "value": 0.0, "unit": "designs/hour/chip",
+              "vs_baseline": 0.0, "error": "all bench phases failed"})
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD"):
+        child_main()
+    else:
+        main()

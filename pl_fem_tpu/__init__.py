@@ -33,8 +33,14 @@ if not _os.environ.get("PL_FEM_NO_COMPILE_CACHE"):
             _os.path.expanduser("~/.cache/pl_fem_tpu/xla"))
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
+        # cache EVERYTHING: through the axon remote compiler even
+        # trivial elementwise programs cost ~0.4 s each to compile, and
+        # a production sweep warmup touches ~70 of them — at the
+        # default 2 s write floor they recompile every process (~60 s
+        # of a cold bench warmup; /tmp/child_dbg.log post-mortem)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                           2.0)
+                           0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:                        # cache is best-effort only
         pass
 

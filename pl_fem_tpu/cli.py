@@ -36,6 +36,25 @@ def setup_logger(level=logging.INFO, log_file=None):
     return root
 
 
+def _parse_with_config(parser, argv):
+    """Two-stage parse: --config file values become argument defaults
+    (explicit command-line flags still win), and the file's
+    ``simulation`` sub-dict is returned for SimulationConfig."""
+    pre, _ = parser.parse_known_args(argv)
+    sim_overrides = {}
+    if pre.config:
+        from .config import load_config_file
+
+        data = load_config_file(pre.config)
+        sim_overrides = data.pop("simulation", {}) or {}
+        known = {a.dest for a in parser._actions}
+        unknown = set(data) - known
+        if unknown:
+            parser.error(f"unknown config file keys: {sorted(unknown)}")
+        parser.set_defaults(**data)
+    return parser.parse_args(argv), sim_overrides
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Generate a photonic-lantern dataset "
@@ -60,8 +79,18 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--mesh-min-points", type=int, default=None)
     parser.add_argument("--no-resume", action="store_true", default=False)
+    parser.add_argument("--adaptive-rounds", type=int, default=0,
+                        help=">=2 runs the exploit/explore adaptive-"
+                             "sampling loop over that many rounds "
+                             "instead of one stratified LHS batch")
+    parser.add_argument("--config", type=str, default=None,
+                        help="YAML config file: top-level keys are CLI "
+                             "defaults (n, out, engine, ...); the "
+                             "'simulation' sub-dict maps onto "
+                             "SimulationConfig/SolverConfig/MeshConfig "
+                             "(reference seam: README.md:216)")
     parser.add_argument("--verbose", action="store_true")
-    args = parser.parse_args(argv)
+    args, sim_overrides = _parse_with_config(parser, argv)
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -71,10 +100,14 @@ def main(argv=None):
 
     import dataclasses
 
-    from .config import SimulationConfig
+    from .config import SimulationConfig, simulation_config_from_dict
     from .dataset import DatasetGenerator
 
-    cfg = SimulationConfig(use_pml=not args.no_pml)
+    if sim_overrides:
+        sim_overrides.setdefault("use_pml", not args.no_pml)
+        cfg = simulation_config_from_dict(sim_overrides)
+    else:
+        cfg = SimulationConfig(use_pml=not args.no_pml)
     if args.mesh_min_points:
         cfg = dataclasses.replace(cfg, mesh_min_points=args.mesh_min_points,
                                   mesh_target_points=2 * args.mesh_min_points)
@@ -92,10 +125,16 @@ def main(argv=None):
         base_seed=args.seed,
         out_dir=out_dir,
     )
-    records = gen.generate(args.n,
-                           quality_threshold=args.quality_threshold,
-                           resume=not args.no_resume,
-                           engine=args.engine)
+    if args.adaptive_rounds >= 2:
+        records = gen.generate_adaptive(
+            args.n, n_rounds=args.adaptive_rounds,
+            quality_threshold=args.quality_threshold,
+            resume=not args.no_resume, engine=args.engine)
+    else:
+        records = gen.generate(args.n,
+                               quality_threshold=args.quality_threshold,
+                               resume=not args.no_resume,
+                               engine=args.engine)
 
     n_ok = sum(1 for r in records if r.success)
     logger.info("done: %d/%d successful", n_ok, len(records))

@@ -36,7 +36,17 @@ class SolverConfig:
     dtype_rr: str = "float64"       # Rayleigh-Ritz precision
     alpha_penalty: float = 1.0      # divergence penalty alpha_p (solver_fem.py:158)
     beta_passes: int = 2            # fixed-beta refinement passes (vectorial tpu)
-    binv_degree: int = 4            # Chebyshev B^{-1} degree in the filter
+    # Chebyshev B^{-1} degree inside the filter. None = AUTO: 1 in
+    # BOOTSTRAPPED fast mode (beta_passes == 1 with a two-grid seed;
+    # measured same ~7e-4 n_eff class as 4 at 2.7x less filter cost —
+    # the shallow B^{-1} only steers an already-warm subspace) and 4
+    # everywhere else (from a cold random start binv=1 loses ~6e-3
+    # n_eff, and the accuracy-mode beta-jitter pooled polish plateaus
+    # near 8e-5 on a binv=1 subspace). 0 = exact HRZ-lumped diagonal
+    # mass inverse (cheapest per step but its spectrum distortion lets
+    # grid-rough junk below the guided cluster at air-clad contrast —
+    # kept for experiments, not production).
+    binv_degree: Optional[int] = None
     # two-grid spectral bootstrap: solve on a ~6x-coarser mesh first and
     # prolong the Ritz vectors as the fine filter's starting subspace
     # (cuts fine filter passes and centers beta without a beta pass)
@@ -161,10 +171,61 @@ class PhotonicLanternDesignParameters:
     taper_profile: str = "exponential"
 
 
+def simulation_config_from_dict(d: dict) -> SimulationConfig:
+    """Build a SimulationConfig from a (nested) plain dict.
+
+    Top-level keys are SimulationConfig fields; ``solver`` and ``mesh``
+    sub-dicts map onto SolverConfig / MeshConfig. Unknown keys raise —
+    a silently ignored typo in a config file is worse than an error.
+    """
+    d = dict(d or {})
+    sub = {}
+    for name, cls_ in (("solver", SolverConfig), ("mesh", MeshConfig)):
+        if name in d:
+            kw = dict(d.pop(name) or {})
+            known = {f.name for f in dataclasses.fields(cls_)}
+            unknown = set(kw) - known
+            if unknown:
+                raise ValueError(f"unknown {name} config keys: "
+                                 f"{sorted(unknown)}")
+            sub[name] = cls_(**kw)
+    known = {f.name for f in dataclasses.fields(SimulationConfig)}
+    unknown = set(d) - known
+    if unknown:
+        raise ValueError(f"unknown simulation config keys: "
+                         f"{sorted(unknown)}")
+    return SimulationConfig(**d, **sub)
+
+
+def load_config_file(path) -> dict:
+    """Parse a YAML (or JSON — YAML superset) config file to a dict.
+
+    Reference seam: the reference README advertises ``--config
+    configs/full_dataset.yaml`` (README.md:216) with no loader in its
+    snapshot; this is that loader. The returned dict's ``simulation``
+    sub-dict feeds :func:`simulation_config_from_dict`; the remaining
+    top-level keys are CLI argument defaults (cli.py).
+    """
+    import pathlib
+
+    import yaml
+
+    text = pathlib.Path(path).read_text()
+    data = yaml.safe_load(text)
+    if data is None:
+        return {}
+    if not isinstance(data, dict):
+        raise ValueError(f"config file {path} must contain a mapping, "
+                         f"got {type(data).__name__}")
+    return data
+
+
 __all__ = [
     "PhysicalConstants",
     "SimulationConfig",
     "SolverConfig",
     "MeshConfig",
     "PhotonicLanternDesignParameters",
+    "simulation_config_from_dict",
+    "load_config_file",
 ]

@@ -151,6 +151,22 @@ class DatasetGenerator:
     def _n_modes_target(self, geom) -> int:
         return self.config.n_modes_target or math.ceil(2.8 * geom.n_cores)
 
+    @staticmethod
+    def _device_mesh():
+        """1-D 'designs' mesh over all local devices (None if single).
+
+        The bucketed sweeps shard their design axis over this mesh
+        (SURVEY.md §2.1: design parallelism is the one multi-chip axis
+        of the workload) — on a v5e-8 every bucket solve uses all 8
+        chips instead of packing lanes onto one.
+        """
+        import jax
+
+        from ..parallel import design_mesh
+
+        devs = jax.devices()
+        return design_mesh(devs) if len(devs) > 1 else None
+
     def _postsolve(self, rec: DatasetRecord, sample: Dict, geom,
                    modes: List[Dict], pmetrics: Dict, timer) -> None:
         """Mode stats -> losses -> CMT -> quality (steps 3b-6)."""
@@ -303,8 +319,11 @@ class DatasetGenerator:
                 on_batch(failed)
 
         groups = group_by_bucket([p[2] for p in prepared])
-        logger.info("bucketed run: %d samples -> %d buckets",
-                    len(prepared), len(groups))
+        dev_mesh = self._device_mesh()
+        logger.info("bucketed run: %d samples -> %d buckets (%s)",
+                    len(prepared), len(groups),
+                    f"{dev_mesh.size}-device mesh" if dev_mesh is not None
+                    else "single device")
         for key, rows in groups.items():
             members = [prepared[j] for j in rows]
             t_bucket = time.time()
@@ -318,7 +337,8 @@ class DatasetGenerator:
                          in members]
                 n_target = self._n_modes_target(members[0][2])
                 sweep = TrueVectorialMaxwellSolver.solve_sweep(
-                    [c for c, _ in pairs], dg, n_target, self.config)
+                    [c for c, _ in pairs], dg, n_target, self.config,
+                    mesh=dev_mesh)
             except Exception as e:
                 logger.warning("bucket %s failed: %s", key, e)
                 for (i, _, _, _) in members:
@@ -395,7 +415,8 @@ class DatasetGenerator:
                                       self.config.mesh.bucket_rounding)
             pairs = [canonicalize(gz, cls_geom) for gz in geos_z]
             sweeps = TrueVectorialMaxwellSolver.solve_sweep(
-                [c for c, _ in pairs], dg_t, n_modes, self.config)
+                [c for c, _ in pairs], dg_t, n_modes, self.config,
+                mesh=self._device_mesh())
             full = bool(self.config.cmt_full_field)
             for z, gz, (_, s), mz in zip(zs, geos_z, pairs, sweeps):
                 mz = rescale_modes(mz, s, gz.k0)
@@ -516,19 +537,31 @@ class DatasetGenerator:
                     f.write("\n".join(json.dumps(r.to_dict())
                                       for r in batch) + "\n")
 
+        records.extend(self._run_batch(pending, checkpoint, engine,
+                                       checkpoint_every))
+
+        if self.out_dir is not None:
+            self.write_csv(records, self.out_dir / "dataset_raw.csv")
+            valid = self.physical_filter(records)
+            self.write_csv(valid, self.out_dir / "dataset_valid_phys.csv")
+        return records
+
+    def _run_batch(self, pending: List[Dict], checkpoint, engine: str,
+                   checkpoint_every: int = 10) -> List[DatasetRecord]:
+        """Simulate one batch through the selected engine."""
+        out: List[DatasetRecord] = []
         if engine == "sweep" and self.use_vectorial:
             # checkpoint per completed bucket (a crash loses at most
             # the in-flight bucket, like the serial engine's
             # checkpoint_every)
-            done = self.simulate_bucketed(pending, on_batch=checkpoint)
-            records.extend(done)
-            n_ok = sum(1 for r in done if r.success)
-            logger.info("sweep engine: %d/%d successful", n_ok, len(done))
+            out = self.simulate_bucketed(pending, on_batch=checkpoint)
+            n_ok = sum(1 for r in out if r.success)
+            logger.info("sweep engine: %d/%d successful", n_ok, len(out))
         else:
             buffer: List[DatasetRecord] = []
             for i, sample in enumerate(pending, 1):
                 rec = self.simulate_sample(sample)
-                records.append(rec)
+                out.append(rec)
                 logger.info("[%d/%d] %s: success=%s (%.1fs)", i,
                             len(pending), rec.sample_id, rec.success,
                             rec.solver_time_s)
@@ -537,6 +570,80 @@ class DatasetGenerator:
                     checkpoint(buffer)
                     buffer.clear()
             checkpoint(buffer)
+        return out
+
+    def generate_adaptive(self, n_samples: int, n_rounds: int = 4,
+                          focus_ratio: float = 0.7,
+                          quality_threshold: float = 0.35,
+                          resume: bool = True,
+                          engine: str = "sweep",
+                          checkpoint_every: int = 10
+                          ) -> List[DatasetRecord]:
+        """Orchestrated exploit/explore loop over the adaptive sampler.
+
+        Round 0 draws a stratified LHS batch; every later round feeds
+        the batch's outcomes (success flags + IL/MDL metrics) back into
+        :class:`AdaptiveSampler` and draws ``focus_ratio`` of the next
+        batch near the best designs found so far. The reference ships
+        the sampler pieces but never drives them (its
+        ``adaptive_sampling`` loop is described in README.md:220-231
+        with no caller in the snapshot); this is that missing
+        orchestration, on top of the same checkpoint/resume contract as
+        :meth:`generate`.
+        """
+        from .sampling import AdaptiveSampler
+
+        sampler = AdaptiveSampler(self.space, base_seed=self.base_seed)
+        done_ids = set()
+        ckpt = (self.out_dir / "records.jsonl") if self.out_dir else None
+        records: List[DatasetRecord] = []
+        if ckpt is not None and resume and ckpt.exists():
+            for line in ckpt.read_text().splitlines():
+                try:
+                    rec = DatasetRecord.from_dict(json.loads(line))
+                    records.append(rec)
+                    done_ids.add(rec.sample_id)
+                except (json.JSONDecodeError, TypeError):
+                    continue
+            if done_ids:
+                logger.info("resume: %d records already done",
+                            len(done_ids))
+
+        def checkpoint(batch: List[DatasetRecord]):
+            if ckpt is not None and batch:
+                with open(ckpt, "a") as f:
+                    f.write("\n".join(json.dumps(r.to_dict())
+                                      for r in batch) + "\n")
+
+        n_rounds = max(1, int(n_rounds))
+        per_round = max(1, (n_samples - len(records) + n_rounds - 1)
+                        // n_rounds)
+        for rnd in range(n_rounds):
+            if len(records) >= n_samples:
+                break
+            want = min(per_round, n_samples - len(records))
+            if rnd == 0 and not sampler.successful:
+                batch = sampler.base_sampler.generate_stratified_samples(
+                    want, quality_threshold=quality_threshold)
+            else:
+                batch = sampler.generate_adaptive_samples(
+                    want, focus_ratio=focus_ratio)
+            batch = [s for s in batch
+                     if s.get("sample_id") not in done_ids]
+            recs = self._run_batch(batch, checkpoint, engine)
+            records.extend(recs)
+            by_id = {r.sample_id: r for r in recs}
+            oks, metrics = [], []
+            for s in batch:
+                r = by_id.get(str(s.get("sample_id")))
+                oks.append(bool(r is not None and r.success))
+                metrics.append({} if r is None or r.IL_phys_mux_dB is None
+                               else {"IL_dB": r.IL_phys_mux_dB,
+                                     "MDL_dB": r.MDL_phys_mux_dB})
+            sampler.update_from_results(batch, oks, metrics)
+            logger.info("adaptive round %d/%d: %d records "
+                        "(%d successful total)", rnd + 1, n_rounds,
+                        len(recs), len(sampler.successful))
 
         if self.out_dir is not None:
             self.write_csv(records, self.out_dir / "dataset_raw.csv")

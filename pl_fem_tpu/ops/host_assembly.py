@@ -514,13 +514,21 @@ def _build_host_vector3_family(dg: DeviceGrid, eps_params,
 # ---------------------------------------------------------------------------
 
 def b_orthonormalize_np(X: np.ndarray, B: sp.csr_matrix,
-                        drop_tol: float = 1e-10) -> np.ndarray:
-    """Whiten X in the B inner product; drops near-dependent directions."""
-    G = X.T @ (B @ X)
+                        drop_tol: float = 1e-10,
+                        return_BV: bool = False):
+    """Whiten X in the B inner product; drops near-dependent directions.
+
+    With ``return_BV`` also returns B @ V reusing the B @ X product
+    (V = X T implies B V = (B X) T — no second SpMV)."""
+    BX = B @ X
+    G = X.T @ BX
     G = 0.5 * (G + G.T)
     w, V = np.linalg.eigh(G)
     keep = w > drop_tol * w.max()
-    return X @ (V[:, keep] / np.sqrt(w[keep])[None, :])
+    T = V[:, keep] / np.sqrt(w[keep])[None, :]
+    if return_BV:
+        return X @ T, BX @ T
+    return X @ T
 
 
 def rr_pencil(A: sp.csr_matrix, B: sp.csr_matrix, X: np.ndarray,
@@ -558,11 +566,14 @@ def quadratic_subspace(hv: HostVector3, X: np.ndarray, k0: float,
     """
     import scipy.linalg as sla
 
-    V = b_orthonormalize_np(X, hv.M3)
+    V, MV = b_orthonormalize_np(X, hv.M3, return_BV=True)
     A0, A1, A2 = hv.Ai()
-    a0 = V.T @ (A0 @ V)
-    a1 = V.T @ (A1 @ V)
-    a2 = V.T @ (A2 @ V)
+    A0V = A0 @ V
+    A1V = A1 @ V
+    A2V = A2 @ V
+    a0 = V.T @ A0V
+    a1 = V.T @ A1V
+    a2 = V.T @ A2V
     a0 = 0.5 * (a0 + a0.T)
     a1 = 0.5 * (a1 + a1.T)
     a2 = 0.5 * (a2 + a2.T)
@@ -579,15 +590,12 @@ def quadratic_subspace(hv: HostVector3, X: np.ndarray, k0: float,
     order = np.argsort(-betas)
     betas, ys = betas[order], ys[:, order]
     H = V @ ys
-    # Residuals for all roots from four shared SpMV batches —
-    # A(b) h = (A0 + b A1 + b^2 A2) h is linear in the per-column
-    # scalars, so no per-root CSR instantiation is needed.
-    A0H = A0 @ H
-    A1H = A1 @ H
-    A2H = A2 @ H
-    MH = hv.M3 @ H
-    R = A0H + A1H * betas[None, :] + A2H * (betas**2)[None, :] \
-        - k0**2 * MH
+    # Residuals for all roots WITHOUT extra SpMVs: H = V ys and each
+    # A_i H = (A_i V) ys is linear in the projected products already
+    # computed above (halves the SpMV count of the polish — the 1-core
+    # host's serial tail).
+    R = A0V @ ys + (A1V @ ys) * betas[None, :] \
+        + (A2V @ ys) * (betas**2)[None, :] - k0**2 * (MV @ ys)
     if mask is not None:
         R = R * mask[:, None]
     res = np.linalg.norm(R, axis=0) / (k0**2 * np.linalg.norm(H, axis=0)

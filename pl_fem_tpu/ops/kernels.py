@@ -292,11 +292,21 @@ def cheb_rr_pass_qf_impl(qf, gs, mask, dinv_sqrt, lo, hi, park, beta,
     c = (0.5 * (bound + cut)).astype(jnp.float32)
     h = (0.5 * (bound - cut)).astype(jnp.float32)
 
-    def apply_t(V):
-        W = _apply_vector3_qf(qf, gs, mask, park, beta, alpha, V)
-        W = _apply_binv_qf(qf, gs, mask, dinv_sqrt, lo, hi, W, 3,
-                           binv_degree)
-        return (W - c * V) / h
+    if binv_degree == 0:
+        # HRZ-lumped mass inverse (see _sweep_apply_t); caller widens
+        # ``bound`` by _LUMP_BOUND
+        ilump = (jnp.tile(dinv_sqrt, 3)**2
+                 / jnp.float32(_HRZ_SCALE))[:, None]
+
+        def apply_t(V):
+            W = _apply_vector3_qf(qf, gs, mask, park, beta, alpha, V)
+            return (W * ilump - c * V) / h
+    else:
+        def apply_t(V):
+            W = _apply_vector3_qf(qf, gs, mask, park, beta, alpha, V)
+            W = _apply_binv_qf(qf, gs, mask, dinv_sqrt, lo, hi, W, 3,
+                               binv_degree)
+            return (W - c * V) / h
 
     T0 = X.astype(jnp.float32)
     T1 = apply_t(T0)
@@ -540,12 +550,35 @@ def _apply_binv_fused(qs: QFactorSweep, gs: GatherScatter, mask, dinv_sqrt,
 
 def _sweep_apply_t(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas, alpha,
                    cuts, bounds, D, B, k, binv_degree):
-    """Shifted-scaled filter operator T = (B^{-1}A - c) / h, fused."""
+    """Shifted-scaled filter operator T = (B^{-1}A - c) / h, fused.
 
-    def binv_f(Vf):                               # (D, B, 3, k)
-        Vl = Vf.reshape(D, 3 * B * k)
-        return _apply_binv_fused(qs, gs, mask, dinv_sqrt, lo, hi, Vl,
-                                 binv_degree).reshape(D, B, 3, k)
+    ``binv_degree == 0`` selects the HRZ-LUMPED mass inverse: B_l =
+    c_H * diag(B) (exact on affine P2 elements, where the assembled
+    consistent-mass diagonal times the reference trace ratio IS the
+    HRZ row-lumped mass), so B^{-1} is one elementwise scale instead
+    of ``binv_degree`` extra mass applies per Chebyshev step — the
+    step drops from ~(1 + binv) applies to ONE A-apply. The filtered
+    subspace then approximates (A, B_l) eigenvectors; the consistent-
+    mass Rayleigh-Ritz tail and the host f64 polish of the TRUE pencil
+    are unchanged, so only subspace-steering quality is affected.
+    Selectivity near the cut survives because the lumped/consistent
+    Rayleigh-quotient ratio is 1 + O(h^2) for smooth fields (guided
+    and near-edge modes); only rough high-theta junk sees the full
+    per-element spread [0.25, 1.30], far inside the suppression band.
+    Callers widen ``bounds`` by _LUMP_BOUND when lumping (lambda_max
+    can grow by at most the spread's upper edge).
+    """
+    if binv_degree == 0:
+        ilump = (dinv_sqrt * dinv_sqrt
+                 / jnp.float32(_HRZ_SCALE))[:, None, None, None]
+
+        def binv_f(Vf):                           # (D, B, 3, k)
+            return Vf * ilump
+    else:
+        def binv_f(Vf):                           # (D, B, 3, k)
+            Vl = Vf.reshape(D, 3 * B * k)
+            return _apply_binv_fused(qs, gs, mask, dinv_sqrt, lo, hi, Vl,
+                                     binv_degree).reshape(D, B, 3, k)
 
     c = (0.5 * (bounds + cuts)).astype(jnp.float32)[None, :, None, None]
     h = (0.5 * (bounds - cuts)).astype(jnp.float32)[None, :, None, None]
@@ -686,9 +719,67 @@ _STEP_COEF = 4.6e-9
 _DISPATCH_TARGET_S = 10.0
 
 
+# -- design-parallel sharding of the sweep kernels ----------------------
+#
+# The fused-lane layout keeps the design axis B separable end to end
+# (every reduction in the chunk/RR kernels is per-design), so a
+# `shard_map` over a 1-D 'designs' device mesh runs each device's
+# design slice through the IDENTICAL kernel code with ZERO collectives
+# on the hot path — the TPU-native scale-out of the reference's serial
+# per-design loop (/root/reference/main.py:343-386; SURVEY.md §2.1).
+# Shared topology (gather tables, invJT, w, gp, mask) is replicated;
+# only inv_eps, the per-design scalars and the subspace shard.
+
+_SHARDED_CACHE: dict = {}
+
+
+def _sweep_sharded_fns(mesh, binv_degree: int, renorm_every: int):
+    """(chunk_fn, rr_fn) jitted shard_map wrappers for a device mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    key = (tuple(d.id for d in mesh.devices.flat), binv_degree,
+           renorm_every)
+    hit = _SHARDED_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    qs_spec = QFactorSweep(invJT=P(), w=P(), inv_eps=P("designs"), gp=P())
+    gs_spec = GatherScatter(elem_dofs=P(), idx_v=P(), valid_v=P(),
+                            idx_e=P(), valid_e=P())
+    d_spec = P("designs")            # (B,) per-design scalars
+    t_spec = P(None, "designs")      # (D, B, 3, k) fused-lane state
+
+    def chunk_local(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas, alpha,
+                    T0, T1, cuts, bounds, steps, first):
+        return cheb_sweep_chunk_impl(
+            qs, gs, mask, dinv_sqrt, lo, hi, parks, betas, alpha, T0, T1,
+            cuts, bounds, steps, first, binv_degree=binv_degree,
+            renorm_every=renorm_every)
+
+    chunk_fn = jax.jit(jax.shard_map(
+        chunk_local, mesh=mesh,
+        in_specs=(qs_spec, gs_spec, P(), P(), P(), P(), d_spec, d_spec,
+                  P(), t_spec, t_spec, d_spec, d_spec, P(), P()),
+        out_specs=(t_spec, t_spec)))
+
+    def rr_local(qs, gs, mask, parks, betas, alpha, Xff):
+        return cheb_sweep_rr_impl(qs, gs, mask, parks, betas, alpha, Xff)
+
+    rr_fn = jax.jit(jax.shard_map(
+        rr_local, mesh=mesh,
+        in_specs=(qs_spec, gs_spec, P(), d_spec, d_spec, P(), t_spec),
+        out_specs=(d_spec, P(None, "designs"), d_spec)))
+
+    if len(_SHARDED_CACHE) > 8:
+        _SHARDED_CACHE.clear()
+    _SHARDED_CACHE[key] = (chunk_fn, rr_fn)
+    return chunk_fn, rr_fn
+
+
 def cheb_rr_pass_sweep_auto(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
                             alpha, X, cuts, bounds, degree: int = 300,
-                            binv_degree: int = 4, renorm_every: int = 8):
+                            binv_degree: int = 4, renorm_every: int = 8,
+                            mesh=None):
     """Pass driver that splits long recurrences into bounded dispatches.
 
     Always routes through the chunk + RR executables (never the fused
@@ -696,34 +787,55 @@ def cheb_rr_pass_sweep_auto(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
     exactly TWO programs compile per bucket shape regardless of degree,
     chunking or pass count — the dominant term in a cold-cache bench
     warmup (BENCH_r02 post-mortem).
+
+    ``mesh``: an optional 1-D 'designs' jax device mesh; the B axis is
+    laid over it via shard_map (B must divide by mesh size — the caller
+    pads) and each device runs its design slice of the SAME kernels.
     """
     CD, B, k = X.shape
     E = qs.w.shape[0]
-    est_step = _STEP_COEF * E * B * k * (1 + binv_degree)
+    n_dev = 1
+    if mesh is not None and mesh.size > 1:
+        if B % mesh.size:
+            raise ValueError(f"sweep width {B} not divisible by the "
+                             f"{mesh.size}-device mesh")
+        n_dev = mesh.size
+    # per-DEVICE work sets the dispatch length
+    est_step = _STEP_COEF * E * (B // n_dev) * k * (1 + binv_degree)
     max_steps = max(int(_DISPATCH_TARGET_S / max(est_step, 1e-12)), 8)
     chunk = min(degree, max_steps)
     chunk = max(((chunk + renorm_every - 1) // renorm_every)
                 * renorm_every, renorm_every)
+    if n_dev > 1:
+        chunk_fn, rr_fn = _sweep_sharded_fns(mesh, binv_degree,
+                                             renorm_every)
+    else:
+        chunk_fn = partial(cheb_sweep_chunk, binv_degree=binv_degree,
+                           renorm_every=renorm_every)
+        rr_fn = cheb_sweep_rr
     T0 = _fused_from_stacked(X.astype(jnp.float32))
     T1 = T0
     done, first = 0, True
     while done < degree:
         n = min(chunk, degree - done)
-        T0, T1 = cheb_sweep_chunk(
+        T0, T1 = chunk_fn(
             qs, gs, mask, dinv_sqrt, lo, hi, parks, betas, alpha, T0, T1,
-            cuts, bounds, np.int32(n), bool(first),
-            binv_degree=binv_degree, renorm_every=renorm_every)
+            cuts, bounds, np.int32(n), np.bool_(first))
         done += n
         first = False
-    return cheb_sweep_rr(qs, gs, mask, parks, betas, alpha, T1)
+    return rr_fn(qs, gs, mask, parks, betas, alpha, T1)
 
 
 def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
                        alpha, bounds, degree: int = 300, passes: int = 2,
                        tol: float = 1e-7, max_passes: int = 8,
                        parks=None, binv_degree: int = 4,
-                       n_wanted: int = 0):
-    """Adaptive driver for the packed same-grid sweep."""
+                       n_wanted: int = 0, mesh=None):
+    """Adaptive driver for the packed same-grid sweep.
+
+    ``mesh``: optional 'designs' device mesh — the sweep's design axis
+    shards over it (see :func:`_sweep_sharded_fns`).
+    """
     import logging
     import time
 
@@ -737,7 +849,12 @@ def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
     betas = jnp.asarray(betas, jnp.float32)
     parks = jnp.asarray(parks if parks is not None else 10.0 * cuts,
                         jnp.float32)
-    bounds = jnp.maximum(jnp.asarray(bounds, jnp.float32), parks * 1.05)
+    bounds = jnp.asarray(bounds, jnp.float32)
+    if binv_degree == 0:
+        # lumped-mass pencil: lambda_max can exceed the consistent
+        # bound by the per-element equivalence spread's upper edge
+        bounds = bounds * jnp.float32(_LUMP_BOUND)
+    bounds = jnp.maximum(bounds, parks * 1.05)
     X = X0.astype(jnp.float32)
     theta = Xr = res = None
     prev = np.inf
@@ -746,7 +863,7 @@ def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
         theta, Xr, res = cheb_rr_pass_sweep_auto(
             qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
             jnp.float32(alpha), X, cuts, bounds, degree=degree,
-            binv_degree=binv_degree)
+            binv_degree=binv_degree, mesh=mesh)
         X = Xr
         if ip + 1 >= passes:
             th = np.asarray(theta)
@@ -774,8 +891,10 @@ def solve_lowest_qf(qf, gs, mask, diag_B, X0, cut, beta, alpha, bound,
                  ).astype(jnp.float32)
     lo = jnp.asarray(MASS_LO, jnp.float32)
     hi = jnp.asarray(MASS_HI, jnp.float32)
-    bound = jnp.maximum(jnp.asarray(bound, jnp.float32),
-                        jnp.float32(park * 1.05))
+    bound = jnp.asarray(bound, jnp.float32)
+    if binv_degree == 0:
+        bound = bound * jnp.float32(_LUMP_BOUND)
+    bound = jnp.maximum(bound, jnp.float32(park * 1.05))
     X = X0.astype(jnp.float32)
     theta = Xr = res = None
     prev = np.inf
@@ -823,6 +942,16 @@ def _reference_mass_constants():
 
 
 _B_REF, MASS_LO, MASS_HI, _LINV_REF = _reference_mass_constants()
+
+# HRZ mass lumping on the reference element: d_i = B_ref[i,i] * c_H with
+# c_H = area / trace(B_ref) (total mass preserved). On affine elements
+# the local mass is |detJ| B_ref, so the ASSEMBLED consistent diagonal
+# times c_H is exactly the assembled HRZ lumped mass. The eigenvalues of
+# D_l^{-1} B_ref bound the lumped/consistent Rayleigh-quotient ratio per
+# element: [0.2485, 1.3046] for P2/Dunavant-4; _LUMP_BOUND pads the
+# upper edge for the (A, B_l) spectrum bound.
+_HRZ_SCALE = float(np.sum(_reference_tensors()[2]) / np.trace(_B_REF))
+_LUMP_BOUND = 1.40
 
 
 @partial(jax.jit, static_argnames=("C",))

@@ -231,7 +231,8 @@ class TrueVectorialMaxwellSolver:
     # -- two-grid spectral bootstrap (no reference analog) ---------------
     @classmethod
     def _bootstrap_sweep(cls, geometries, dg: DeviceGrid,
-                         n_modes_target: int, cfg: SimulationConfig):
+                         n_modes_target: int, cfg: SimulationConfig,
+                         mesh=None):
         """Coarse-mesh solve -> prolonged Ritz vectors + per-design beta.
 
         Solves the same sweep on a ~6x-coarser mesh (cheap: element count
@@ -309,7 +310,7 @@ class TrueVectorialMaxwellSolver:
                 return None
             results_c = cls.solve_sweep(geometries, grid_c,
                                         n_modes_target, coarse_cfg,
-                                        _raw_modes=True)
+                                        _raw_modes=True, mesh=mesh)
         except Exception as e:   # bootstrap is an accelerator, never fatal
             logger.warning("bootstrap solve failed (%s); random init", e)
             return None
@@ -364,7 +365,7 @@ class TrueVectorialMaxwellSolver:
     @classmethod
     def solve_sweep(cls, geometries, grid, n_modes_target: int = 20,
                     config: Optional[SimulationConfig] = None,
-                    _raw_modes: bool = False):
+                    _raw_modes: bool = False, mesh=None):
         """Solve B same-grid designs in one packed device sweep.
 
         All geometries must share the mesh (same core layout at the
@@ -378,6 +379,11 @@ class TrueVectorialMaxwellSolver:
         linear-coefficient family (plus an interface-annulus correction
         when radii differ). Returns a list of mode lists, one per
         geometry.
+
+        ``mesh``: optional 1-D 'designs' jax device mesh — the design
+        axis of the filter shards over it (shard_map over the SAME
+        fused kernels; kernels.py ``_sweep_sharded_fns``). B is padded
+        up to a mesh-size multiple by repeating the last design.
         """
         from ..utils import PhaseTimer
 
@@ -391,22 +397,39 @@ class TrueVectorialMaxwellSolver:
         n = dg.n_dofs
         Dp = dg.n_dofs_padded
 
+        n_dev = 1
+        if mesh is not None and getattr(mesh, "size", 1) > 1:
+            n_dev = mesh.size
+            if B % n_dev:
+                pad = n_dev - B % n_dev
+                out = cls.solve_sweep(
+                    list(geometries) + [geometries[-1]] * pad, dg,
+                    n_modes_target, cfg, _raw_modes=_raw_modes, mesh=mesh)
+                return out[:B]
+        else:
+            mesh = None
+
         # Working-set guard: very large (elements x packed-lanes) sweeps
         # have crashed this TPU toolchain; split into sub-sweeps instead.
         # Probed r2: 3.8M units (E=21504, B=8, k=22) runs clean end to
         # end at production mesh size; guard set with margin above that.
+        # The unit is PER-DEVICE work, so an n-device mesh carries n x
+        # the designs per sub-sweep.
         k_est = min(n_modes_target + scfg.extra_vectors, n)
         E_pad = dg.elem_dofs.shape[0]
         # max E_pad * B * k working-set units (env override for probing
         # the real ceiling; see scratch/tune_case.py)
         budget = int(os.environ.get("PL_FEM_SWEEP_BUDGET", "6000000"))
-        b_max = max(1, budget // (E_pad * k_est))
+        b_max = max(1, budget // (E_pad * k_est)) * n_dev
+        if n_dev > 1:
+            b_max -= b_max % n_dev
         if B > b_max:
             out = []
             for s in range(0, B, b_max):
                 out.extend(cls.solve_sweep(geometries[s:s + b_max], dg,
                                            n_modes_target, cfg,
-                                           _raw_modes=_raw_modes))
+                                           _raw_modes=_raw_modes,
+                                           mesh=mesh))
             return out
 
         # two-grid bootstrap: coarse solve -> X0 + per-design beta0
@@ -414,7 +437,7 @@ class TrueVectorialMaxwellSolver:
         if scfg.bootstrap and n >= scfg.bootstrap_min_dofs:
             with timer.phase("bootstrap"):
                 boot = cls._bootstrap_sweep(geometries, dg, n_modes_target,
-                                            cfg)
+                                            cfg, mesh=mesh)
 
         with timer.phase("assemble"):
             ga = grid_to_device(dg, dtype=jnp.float32)
@@ -439,6 +462,18 @@ class TrueVectorialMaxwellSolver:
         # polish is what removes the prolonged subspace's angle error
         # (extra in-pass filtering does not; measured boot_ab.py).
         beta_passes_eff = max(1, scfg.beta_passes)
+        # AUTO B^{-1} depth: fast mode WITH a bootstrap seed takes the
+        # cheap semi-iteration (binv=1; measured n_eff 7.3e-4 vs
+        # binv=4's 8.8e-4 at 2.7x less filter cost at production —
+        # binv only steers the warm prolonged subspace there).
+        # Everywhere else keep binv=4: from a cold random start binv=1
+        # loses ~6e-3 n_eff (subspace never converges; measured
+        # /tmp/binv_fast_cmp.log), and the accuracy-mode pooled
+        # beta-jitter polish plateaus at ~8e-5 on a binv=1 subspace.
+        binv_eff = scfg.binv_degree
+        if binv_eff is None:
+            binv_eff = 1 if (beta_passes_eff == 1
+                             and boot is not None) else 4
         if boot is not None:
             _, betas_c, used_c = boot
             betas = np.where(used_c, betas_c, betas)
@@ -455,7 +490,7 @@ class TrueVectorialMaxwellSolver:
         from ..ops.kernels import pencil_bounds_elem
 
         with timer.phase("bounds"):
-            bounds = np.empty(B)
+            bound_devs = []
             for bix, g in enumerate(geometries):
                 prim, _, _ = assemble_vector3_system(
                     ga, eps_arrays(g.eps_params(), dtype=jnp.float32))
@@ -463,9 +498,13 @@ class TrueVectorialMaxwellSolver:
                                          jnp.float32(scfg.alpha_penalty))
                 _, _, bound = pencil_bounds_elem(big0, prim["u_nn"],
                                                  ga.elem_valid, C=3)
-                # 1.1x margin covers the beta drift across beta passes
-                bounds[bix] = float(bound) * 1.1
+                # keep the scalar on device: a float() here would sync
+                # the dispatch pipeline once PER DESIGN through the
+                # axon tunnel (measured ~3 s/sweep of pure latency)
+                bound_devs.append(bound)
             del big0, prim
+            # 1.1x margin covers the beta drift across beta passes
+            bounds = np.asarray(jnp.stack(bound_devs)) * 1.1
 
         with timer.phase("host_family"):
             if B == 1:
@@ -487,6 +526,35 @@ class TrueVectorialMaxwellSolver:
             cheb_passes_eff = scfg.cheb_passes
         pooled = [None] * B
 
+        # per-design instantiated host pencils: beta-INDEPENDENT, so
+        # build each at most once (the round loop used to re-run the
+        # three nnz-wide axpys of family.instantiate every round)
+        hv_cache: list = [None] * B
+
+        def _hv(bix):
+            if hv_cache[bix] is None:
+                g = geometries[bix]
+                hv_cache[bix] = hv_single if family is None else \
+                    family.instantiate(g.n_core**2, g.n_clad**2,
+                                       eps_params=g.eps_params())
+            return hv_cache[bix]
+
+        def _pad_active(idx):
+            """Pad an active-design index list to a filter width that
+            (a) is a power of two (bounds the number of compiled
+            bucket shapes to log2(B)) and (b) divides over the device
+            mesh. Padding repeats the last active design."""
+            w = 1
+            while w < len(idx):
+                w *= 2
+            if mesh is not None and getattr(mesh, "size", 1) > 1:
+                nd = mesh.size
+                w = max(w, nd)
+                if w % nd:
+                    w = ((w + nd - 1) // nd) * nd
+            w = min(max(w, 1), B)
+            return list(idx) + [idx[-1]] * (w - len(idx))
+
         results = [[] for _ in range(B)]
         # beta_passes is the MINIMUM round count; when >= 2 (accuracy
         # mode) the qres gate may extend up to max_rounds until the
@@ -494,9 +562,18 @@ class TrueVectorialMaxwellSolver:
         # is the explicit fast mode (dataset throughput; ~4e-4 root
         # bias on bootstrapped production solves, below the reference
         # formulation's own ~6e-4 model error at air-clad contrast).
+        # Convergence is tracked PER DESIGN: a design whose polished
+        # roots certify (or stall) exits the sweep, and later rounds
+        # re-filter only the still-active subset (padded to a power of
+        # two) — one slow member no longer re-filters the whole sweep
+        # (round-2 accuracy mode measured 6.8x fast mode for this
+        # reason).
         max_rounds = beta_passes_eff if beta_passes_eff == 1 \
             else max(beta_passes_eff, 6)
-        prev_qworst = np.inf
+        prev_q = np.full(B, np.inf)
+        active = list(range(B))
+        Xact = X                      # (3Dp, |sel|, k) active subspace
+        sel = list(range(B))          # design index of each Xact column
         for ip in range(max_rounds):
             # residual gate only on the modes the caller needs (theta is
             # ascending; the physical cluster sits at the bottom) — the
@@ -523,27 +600,42 @@ class TrueVectorialMaxwellSolver:
             # physical-scale-free: the polish solves the full quadratic
             # pencil, so the filter beta only shapes the subspace.
             _jit = (0.0, 2e-3, -2e-3, 4e-3, -4e-3, 6e-3)[ip % 6]
+            qs_act = qs if len(sel) == B else \
+                qs._replace(inv_eps=qs.inv_eps[np.asarray(sel)])
             with timer.phase("filter"):
                 theta, Xr, res = solve_lowest_sweep(
-                    qs, gs, ga.interior_mask, diag, X, cuts,
-                    betas * (1.0 + _jit),
-                    scfg.alpha_penalty, bounds, degree=scfg.cheb_degree,
+                    qs_act, gs, ga.interior_mask, diag, Xact, cuts[sel],
+                    betas[sel] * (1.0 + _jit),
+                    scfg.alpha_penalty, bounds[sel],
+                    degree=scfg.cheb_degree,
                     passes=cheb_passes_eff, tol=scfg.scalar_tol,
-                    parks=parks, n_wanted=n_gate, max_passes=mp,
-                    binv_degree=scfg.binv_degree)
-                Xh_all = np.asarray(Xr, dtype=np.float64)
+                    parks=parks[sel], n_wanted=n_gate, max_passes=mp,
+                    binv_degree=binv_eff, mesh=mesh)
+                # start the device->host DMA of every active design's
+                # subspace slab up front: the axon tunnel moves the
+                # full (3Dp, B, k) f32 block at only ~17 MB/s (measured
+                # 7.7 s/round at production size), so the copies run
+                # concurrently with the host polish of earlier designs
+                # instead of serializing in front of it
+                slabs = [Xr[:, j, :] for j in range(len(active))]
+                for s in slabs:
+                    try:
+                        s.copy_to_host_async()
+                    except (AttributeError, RuntimeError):
+                        break
             beta_new = betas.copy()
-            qworst = 0.0
-            for bix, g in enumerate(geometries):
-                Xh = Xh_all[:, bix, :]
+            qnow = {}
+            for j, bix in enumerate(active):
+                g = geometries[bix]
+                with timer.phase("xfer"):
+                    Xh = np.asarray(slabs[j], dtype=np.float64)
                 Xh = np.concatenate(
                     [Xh[c * Dp:c * Dp + n] for c in range(3)],
                     axis=0) * mask3[:, None]
                 pooled[bix] = Xh if pooled[bix] is None else \
                     np.concatenate([pooled[bix], Xh], axis=1)
-                hv = hv_single if family is None else \
-                    family.instantiate(g.n_core**2, g.n_clad**2,
-                                       eps_params=g.eps_params())
+                with timer.phase("host_family"):
+                    hv = _hv(bix)
                 with timer.phase("polish"):
                     bts, H, _, qres = quadratic_subspace(
                         hv, pooled[bix], g.k0,
@@ -558,8 +650,7 @@ class TrueVectorialMaxwellSolver:
                     keep = keep[np.argsort(-bts[keep])]
                     bts, H, qres = bts[keep], H[:, keep], qres[keep]
                 if len(bts):
-                    qworst = max(qworst,
-                                 float(qres[:n_modes_target].max()))
+                    qnow[bix] = float(qres[:n_modes_target].max())
                     beta_new[bix] = float(np.median(bts))
                     hx, hy, hz = H[:n], H[n:2 * n], H[2 * n:]
                     if _raw_modes:
@@ -578,27 +669,38 @@ class TrueVectorialMaxwellSolver:
                     with timer.phase("postproc"):
                         results[bix] = solver._postprocess(
                             hv, dg, bts, hx, hy, hz, n_modes_target)
-            # Continue while EITHER beta still moves OR the polished
-            # roots' full-space quadratic residual is above tolerance.
-            # The beta-only criterion silently froze bootstrapped
-            # production solves after one round (coarse betas are
-            # already sub-1e-6) with the prolonged subspace's ~4e-4
-            # root bias intact — qres is the honest certificate of the
-            # ROOT, independent of how beta was seeded.
-            logger.debug("sweep round %d: qworst=%.2e dbeta=%.2e", ip,
-                         qworst, np.abs(beta_new - betas).max())
-            beta_stable = np.abs(beta_new - betas).max() <= 1e-6
-            converged = beta_stable and qworst <= scfg.polish_qres_tol
-            stalled = beta_stable and qworst > 0.7 * prev_qworst
-            prev_qworst = qworst
-            if ip + 1 < max_rounds and not converged and not stalled:
-                betas = beta_new
-                cuts = np.array([min(b**2 / g.n_clad**2, 1.35 * g.k0**2)
-                                 for b, g in zip(betas, geometries)])
-                parks = 10.0 * np.maximum(cuts, 1.0)
-                X = Xr
-            else:
+            # Per-design continue/exit: a design keeps iterating while
+            # EITHER its beta still moves OR its polished roots'
+            # full-space quadratic residual is above tolerance (the
+            # beta-only criterion silently froze bootstrapped
+            # production solves after one round with the prolonged
+            # subspace's ~4e-4 root bias intact — qres is the honest
+            # certificate of the ROOT, independent of how beta was
+            # seeded), with a per-design stall detector.
+            still = []
+            for bix in active:
+                q_b = qnow.get(bix, np.inf)
+                beta_stable = abs(beta_new[bix] - betas[bix]) <= 1e-6
+                converged = beta_stable and q_b <= scfg.polish_qres_tol
+                stalled = beta_stable and q_b > 0.7 * prev_q[bix]
+                prev_q[bix] = q_b
+                if not converged and not stalled:
+                    still.append(bix)
+            logger.debug("sweep round %d: active %d -> %d, qworst=%.2e "
+                         "dbeta=%.2e", ip, len(active), len(still),
+                         max(qnow.values()) if qnow else np.inf,
+                         np.abs(beta_new - betas).max())
+            if ip + 1 >= max_rounds or not still:
                 break
+            betas = beta_new
+            cuts = np.array([min(b**2 / g.n_clad**2, 1.35 * g.k0**2)
+                             for b, g in zip(betas, geometries)])
+            parks = 10.0 * np.maximum(cuts, 1.0)
+            col_of = {bix: j for j, bix in enumerate(sel)}
+            active = still
+            sel = _pad_active(active)
+            cols = np.asarray([col_of[bix] for bix in sel])
+            Xact = Xr[:, cols, :]
         # the bootstrap's nested solve_sweep re-binds the hook; restore
         # this (outermost) call's breakdown before returning
         cls.last_sweep_times = timer.times

@@ -1,0 +1,80 @@
+"""VERDICT r2 #5: bucketed-engine accuracy at production scale.
+
+An off-class-center member (radius ~2%+ away from the bucket's class
+center, the worst case the RATIO_BAND=5% binning admits) is solved
+
+  (a) in its bucket: canonical grid built from the CLASS geometry
+      (conforming/curved rings at the CLASS radius), member eps cutting
+      element interiors, mask-corrected f64 polish;
+  (b) on its own conforming mesh (interface rings at the member radius);
+
+both at the production 15k-point band, fast (bp=1) and accuracy (bp=2)
+modes, and compared against the exact analytic dispersion (air-clad
+flagship: supermodes degenerate with the isolated core to ~1e-9).
+
+Prints the n_eff deltas that docs/PARITY_r3.md records.
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+from pl_fem_tpu.config import MeshConfig, SimulationConfig, SolverConfig
+from pl_fem_tpu.dataset.bucketing import (bucket_key, canonicalize,
+                                          class_geometry)
+from pl_fem_tpu.models import MCFGeometry
+from pl_fem_tpu.ops.analytic import vector_modes
+from pl_fem_tpu.ops.femgrid import MeshGenerator, export_device_grid
+from pl_fem_tpu.solvers import TrueVectorialMaxwellSolver
+
+MESH = 15000
+REF = 2.2
+
+# member whose radius sits near a class-band edge (worst case the 5%
+# banding admits is +-2.47% off the class center); BUCKET_RFAC scales
+# the flagship r_core
+import os
+
+RFAC = float(os.environ.get("BUCKET_RFAC", "1.025"))
+member = MCFGeometry(7, 8.0, 1.5 * RFAC, 1.535, 1.0, wavelength_um=1.55)
+key = bucket_key(member)
+cls_geom = class_geometry(key, member)
+print(f"member r/p={member.r_core/8.0:.4f}  class center "
+      f"r/p={cls_geom.r_core/8.0:.4f}  "
+      f"(member {100*(member.r_core/cls_geom.r_core-1):+.2f}% off center)",
+      flush=True)
+
+exact = vector_modes(member.wavelength, member.r_core, 1.535, 1.0, nu_max=1)
+he11 = max(n for lbl, n in exact)
+print(f"exact isolated-core HE11 n_eff = {he11:.8f}", flush=True)
+
+for bp in (1, 2):
+    cfg = SimulationConfig(
+        mesh_min_points=MESH, mesh_target_points=MESH,
+        mesh=MeshConfig(bucket_rounding=1024),
+        solver=SolverConfig(backend="tpu", cheb_degree=200, cheb_passes=2,
+                            beta_passes=bp))
+    # (a) bucket solve on the CLASS grid
+    grid_c = MeshGenerator.generate(cls_geom, REF, cfg)
+    dg_c = export_device_grid(grid_c, 1024)
+    can, s = canonicalize(member, cls_geom)
+    t0 = time.time()
+    sweep = TrueVectorialMaxwellSolver.solve_sweep([can], dg_c, 10, cfg)
+    n_bucket = sweep[0][0]["n_eff"]
+    t_a = time.time() - t0
+    # (b) own conforming mesh
+    grid_m = MeshGenerator.generate(member, REF, cfg)
+    dg_m = export_device_grid(grid_m, 1024)
+    t0 = time.time()
+    own = TrueVectorialMaxwellSolver.solve_sweep([member], dg_m, 10, cfg)
+    n_own = own[0][0]["n_eff"]
+    t_b = time.time() - t0
+    print(f"bp={bp}: bucket n_eff={n_bucket:.8f} ({t_a:.0f}s, "
+          f"{grid_c.n_points} pts)  own-mesh n_eff={n_own:.8f} "
+          f"({t_b:.0f}s, {grid_m.n_points} pts)", flush=True)
+    print(f"bp={bp}: bucket-vs-own {abs(n_bucket-n_own):.2e}  "
+          f"bucket-vs-exact {abs(n_bucket-he11)/he11:.2e}  "
+          f"own-vs-exact {abs(n_own-he11)/he11:.2e}", flush=True)

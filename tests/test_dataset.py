@@ -182,3 +182,80 @@ def test_generator_end_to_end_small(tmp_path):
     assert ok_rec.IL_phys_mux_dB is not None
     assert ok_rec.performance_index is not None
     assert ok_rec.mesh_points > 0 and ok_rec.solver_time_s > 0
+
+
+def test_config_file_loader(tmp_path):
+    """YAML --config round-trip: nested simulation dict -> dataclasses,
+    unknown keys rejected (reference seam: README.md:216 advertises
+    --config with no loader in the snapshot)."""
+    from pl_fem_tpu.config import (load_config_file,
+                                   simulation_config_from_dict)
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        "n: 7\n"
+        "engine: sweep\n"
+        "simulation:\n"
+        "  mesh_min_points: 1234\n"
+        "  solver:\n"
+        "    beta_passes: 2\n"
+        "    cheb_degree: 150\n"
+        "  mesh:\n"
+        "    bucket_rounding: 512\n")
+    data = load_config_file(p)
+    assert data["n"] == 7 and data["engine"] == "sweep"
+    cfg = simulation_config_from_dict(data["simulation"])
+    assert cfg.mesh_min_points == 1234
+    assert cfg.solver.beta_passes == 2 and cfg.solver.cheb_degree == 150
+    assert cfg.mesh.bucket_rounding == 512
+
+    with pytest.raises(ValueError, match="unknown solver config keys"):
+        simulation_config_from_dict({"solver": {"nope": 1}})
+    with pytest.raises(ValueError, match="unknown simulation config"):
+        simulation_config_from_dict({"definitely_not_a_field": 1})
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("- just\n- a\n- list\n")
+    with pytest.raises(ValueError, match="mapping"):
+        load_config_file(bad)
+
+
+def test_cli_config_file(tmp_path):
+    """CLI accepts --config; explicit flags override file values."""
+    from pl_fem_tpu.cli import main as cli_main
+
+    p = tmp_path / "run.yaml"
+    out = tmp_path / "ds"
+    p.write_text(
+        f"n: 1\nout: {out}\nscalar: true\nseed: 5\n"
+        "simulation:\n"
+        "  mesh_min_points: 500\n"
+        "  mesh_target_points: 2000\n"
+        "  mesh:\n"
+        "    bucket_rounding: 256\n"
+        "    refinement: 0.35\n"
+        "  solver:\n"
+        "    backend: tpu\n"
+        "    cheb_degree: 120\n"
+        "    cheb_passes: 2\n")
+    rc = cli_main(["--config", str(p)])
+    assert rc == 0
+    assert (out / "records.jsonl").exists()
+
+
+def test_generate_adaptive_loop(tmp_path):
+    """The orchestrated exploit/explore loop: rounds feed outcomes back
+    into AdaptiveSampler and later rounds draw near the successes
+    (reference gap: sampler pieces with no driver)."""
+    cfg = SimulationConfig(
+        mesh_min_points=500, mesh_target_points=2000,
+        mesh=MeshConfig(bucket_rounding=256, refinement=0.35),
+        solver=SolverConfig(backend="tpu", cheb_degree=120, cheb_passes=2))
+    space = ParametricSpace(n_cores_options=[3])
+    gen = DatasetGenerator(space=space, config=cfg, use_vectorial=False,
+                           base_seed=2, out_dir=tmp_path)
+    records = gen.generate_adaptive(4, n_rounds=2, engine="serial")
+    assert len(records) >= 3
+    assert sum(1 for r in records if r.success) >= 1
+    assert (tmp_path / "records.jsonl").exists()
+    assert (tmp_path / "dataset_raw.csv").exists()

@@ -98,6 +98,50 @@ def test_sweep_matches_single_design(setup):
     np.testing.assert_allclose(ns, n1, atol=1.5e-3)
 
 
+def test_binv_auto_fast_mode_matches_binv4():
+    """The AUTO B^{-1} policy: in bootstrapped fast mode (beta_passes=1
+    with a two-grid seed) binv resolves to the cheap semi-iteration
+    (binv=1) and must land in the same n_eff class as the deep
+    Chebyshev B^{-1} (binv=4) — the shallow inverse only steers an
+    already-warm subspace; the Rayleigh-Ritz tail and the host f64
+    polish always use the TRUE consistent-mass pencil. Measured here
+    (19k DOFs, CPU): ~5e-4 apart at ~2x less cost. From a COLD start
+    binv=1 loses ~6e-3 (subspace never converges), which is why AUTO
+    requires the bootstrap seed — the sweep-vs-single tests cover that
+    cold path with binv resolving to 4. (binv=0, the exact HRZ-lumped
+    inverse, is deliberately NOT gated here: its spectrum distortion
+    lets grid-rough junk below the guided cluster — measured 5e-2
+    n_eff error and junk modes at production scale — experimental
+    knob only.)"""
+    from pl_fem_tpu.config import MeshConfig, SolverConfig
+    from pl_fem_tpu.ops.femgrid import MeshGenerator, export_device_grid
+    from pl_fem_tpu.solvers import TrueVectorialMaxwellSolver
+
+    geom = MCFGeometry(3, 8.0, 1.3, 1.53, 1.0, wavelength_um=1.55)
+    # large enough that the two-grid bootstrap engages (>= 6000 DOFs
+    # with a valid ~3x-coarser seed grid)
+    cfgm = SimulationConfig(mesh_min_points=2500, mesh_target_points=2500,
+                            mesh=MeshConfig(bucket_rounding=256))
+    grid = MeshGenerator.generate(geom, 0.6, cfgm)
+    dg = export_device_grid(grid, 256)
+    assert grid.n_dofs >= 6000
+    out = {}
+    for binv in (4, None):
+        cfg = SimulationConfig(
+            mesh=MeshConfig(bucket_rounding=256),
+            solver=SolverConfig(backend="tpu", cheb_degree=100,
+                                cheb_passes=2, beta_passes=1,
+                                binv_degree=binv))
+        out[binv] = TrueVectorialMaxwellSolver.solve_sweep([geom], dg, 5,
+                                                           cfg)[0]
+    assert len(out[None]) >= 4 and len(out[4]) >= 4
+    ns_auto = [m["n_eff"] for m in out[None]][:4]
+    ns_deep = [m["n_eff"] for m in out[4]][:4]
+    # same solver-scatter class as the sweep-vs-single gate;
+    # production-scale truth gates live in the PARITY docs
+    np.testing.assert_allclose(ns_auto, ns_deep, atol=1.5e-3)
+
+
 def test_qf_solver_end_to_end(setup):
     """solve_lowest_qf finds the same lowest spectrum as the blocks path."""
     geom, dg, ga, ea = setup
