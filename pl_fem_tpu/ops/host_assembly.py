@@ -276,6 +276,12 @@ class HostVector3:
             (d, self.pat.indices, self.pat.indptr), shape=self.pat.shape)
         return mk(self.d0), mk(self.d1), mk(self.d2)
 
+    def Ai_matvec(self, V: np.ndarray):
+        """(A0 V, A1 V, A2 V) — the only design-specific products the
+        polish needs (see ``LazyVector3`` for the family fast path)."""
+        A0, A1, A2 = self.Ai()
+        return A0 @ V, A1 @ V, A2 @ V
+
 
 def build_host_vector3(dg: DeviceGrid, eps_params,
                        alpha_p: float = 1.0) -> HostVector3:
@@ -351,8 +357,16 @@ class HostVector3Family:
     in_core_base: Optional[np.ndarray] = None   # (E, Q) bool
     alpha_p: float = 1.0
 
-    def _mask_correction(self, eps_params) -> Optional[np.ndarray]:
-        """(3, nnz) i-channel data for weight (m_member - m_base)."""
+    def _mask_correction(self, eps_params):
+        """Sparse i-channel correction for weight (m_member - m_base).
+
+        Returns ``(slots, vals)`` with ``slots`` the affected CSR data
+        positions (int64, (s,)) and ``vals`` their (3, s) beta-power
+        data — NOT a dense (3, nnz) vector: members touch only an
+        interface annulus, and a dense correction per member (~150 MB
+        at production mesh) made the <=16-entry cache a multi-GB
+        resident set whose allocator churn dominated the polish
+        (measured 4.2 s/instantiate vs 0.5 s without corrections)."""
         dg = self.dg
         x = dg.qp_xy[..., 0]
         y = dg.qp_xy[..., 1]
@@ -376,38 +390,148 @@ class HostVector3Family:
             combine_vector3_np(prim, 0.0, self.alpha_p, derivative=True), 3)
         Af = stack_blocks_np(combine_vector3_np(prim, 1.0, self.alpha_p), 3)
         A2 = Af - A0 - A1
-        nnz = len(self.pat.indices)
         perm = self.pat.perm.reshape(dg.n_elems, -1)[elems].ravel()
+        uniq, inv = np.unique(perm, return_inverse=True)
+        vals = np.stack([
+            np.bincount(inv, weights=blocks.ravel(), minlength=len(uniq))
+            for blocks in (A0, A1, A2)])
+        return uniq, vals
 
-        def slots(blocks):
-            return np.bincount(perm, weights=blocks.ravel(), minlength=nnz)
+    def _corr_for(self, eps_params):
+        """Cached sparse mask correction for one member layout."""
+        if eps_params is None or self.dg is None:
+            return None
+        # raw bytes as the key: the cache holds <= 16 entries, and a
+        # crc32 collision between two member layouts would silently
+        # reuse the wrong interface correction in the f64 polish
+        key = (np.ascontiguousarray(eps_params.positions).tobytes(),
+               np.ascontiguousarray(eps_params.core_radii).tobytes())
+        if key not in self._corr_cache:
+            if len(self._corr_cache) > 16:
+                self._corr_cache.clear()
+            self._corr_cache[key] = self._mask_correction(eps_params)
+        return self._corr_cache[key]
 
-        return np.stack([slots(A0), slots(A1), slots(A2)])
+    def _combine_into(self, out, ic: float, il: float,
+                      corr=None):
+        """out[i] = ic d_core[i] + il d_clad[i] + d_u[i] (+ corr), chunked.
+
+        ``out`` is a sequence of three 1-D nnz buffers. Chunked
+        in-place: the one-expression form allocates four ~150 MB
+        temporaries per call at production nnz, which measured 10-40x
+        slower than streaming through a preallocated buffer on this
+        host (scratch/inst_probe.py)."""
+        n = self.d_u.shape[1]
+        step = 1 << 21
+        for i in range(3):
+            oi = out[i]
+            for s in range(0, n, step):
+                e = min(n, s + step)
+                np.multiply(self.d_core[i, s:e], ic, out=oi[s:e])
+                oi[s:e] += il * self.d_clad[i, s:e]
+                oi[s:e] += self.d_u[i, s:e]
+            if corr is not None:
+                slots, vals = corr
+                oi[slots] += (ic - il) * vals[i]
+        return out
 
     def instantiate(self, eps_core: float, eps_clad: float,
                     eps_params=None) -> "HostVector3":
         ic, il = 1.0 / eps_core, 1.0 / eps_clad
-        d = ic * self.d_core + il * self.d_clad + self.d_u
-        if eps_params is not None and self.dg is not None:
-            # raw bytes as the key: the cache holds <= 16 entries, and a
-            # crc32 collision between two member layouts would silently
-            # reuse the wrong interface correction in the f64 polish
-            key = (np.ascontiguousarray(eps_params.positions).tobytes(),
-                   np.ascontiguousarray(eps_params.core_radii).tobytes())
-            if key not in self._corr_cache:
-                if len(self._corr_cache) > 16:
-                    self._corr_cache.clear()
-                self._corr_cache[key] = self._mask_correction(eps_params)
-            corr = self._corr_cache[key]
-            if corr is not None:
-                d = d + (ic - il) * corr
+        nnz = self.d_u.shape[1]
+        d = self._combine_into([np.empty(nnz) for _ in range(3)], ic, il,
+                               self._corr_for(eps_params))
         Mim = None if self.Msig is None else eps_clad * self.Msig
         return HostVector3(pat=self.pat, d0=d[0], d1=d[1], d2=d[2],
                            M3=self.M3, spat=self.spat, Dxx=self.Dxx,
                            Dyy=self.Dyy, Dxy=self.Dxy, Mim=Mim)
 
+    def design_view(self, eps_core: float, eps_clad: float,
+                    eps_params=None) -> "LazyVector3":
+        """Zero-copy per-design view for the sweep polish.
+
+        Unlike ``instantiate`` it materializes NO (3, nnz) data: the
+        design-specific A_i enter the polish only through A_i @ V
+        products (``Ai_matvec``), computed through one family-shared
+        scratch buffer. A B=8 production sweep previously held
+        8 x ~150 MB instantiated pencils live (measured: instantiate
+        was 67 s of a 111 s steady solve_sweep, scratch/prof_sweep.py)."""
+        return LazyVector3(fam=self, ic=1.0 / eps_core,
+                           il=1.0 / eps_clad, eps_clad=eps_clad,
+                           corr=self._corr_for(eps_params))
+
+    def _scratch_views(self):
+        """(scratch (3, nnz) buffer, [K0, K1, K2] CSR views over it).
+
+        Three STANDALONE 1-D buffers, not rows of one (3, nnz) array:
+        scipy's constructor prunes view arrays (``.base is not None``)
+        into copies, which would silently detach the CSR data from the
+        buffer being refilled."""
+        if self._scratch is None:
+            nnz = self.d_u.shape[1]
+            self._scratch = [np.empty(nnz) for _ in range(3)]
+            self._views = [
+                sp.csr_matrix((buf, self.pat.indices, self.pat.indptr),
+                              shape=self.pat.shape)
+                for buf in self._scratch]
+            for buf, K in zip(self._scratch, self._views):
+                assert K.data is buf or K.data.base is buf or \
+                    np.shares_memory(K.data, buf), \
+                    "scipy copied the scratch buffer"
+        return self._scratch, self._views
+
     def __post_init__(self):
         self._corr_cache: dict = {}
+        self._scratch = None
+        self._views = None
+
+
+@dataclasses.dataclass
+class LazyVector3:
+    """Design view of a :class:`HostVector3Family`.
+
+    Quacks like :class:`HostVector3` for everything the sweep polish
+    and postprocessing touch (M3/Dxx/Dyy/Dxy/Mim + ``Ai_matvec``)
+    while keeping zero per-design operator storage."""
+
+    fam: HostVector3Family
+    ic: float
+    il: float
+    eps_clad: float
+    corr: Optional[tuple] = None
+
+    @property
+    def M3(self) -> sp.csr_matrix:
+        return self.fam.M3
+
+    @property
+    def Dxx(self) -> sp.csr_matrix:
+        return self.fam.Dxx
+
+    @property
+    def Dyy(self) -> sp.csr_matrix:
+        return self.fam.Dyy
+
+    @property
+    def Dxy(self) -> sp.csr_matrix:
+        return self.fam.Dxy
+
+    @property
+    def Mim(self) -> Optional[sp.csr_matrix]:
+        if self.fam.Msig is None:
+            return None
+        if self._mim is None:
+            self._mim = self.eps_clad * self.fam.Msig
+        return self._mim
+
+    def __post_init__(self):
+        self._mim = None
+
+    def Ai_matvec(self, V: np.ndarray):
+        _, views = self.fam._scratch_views()
+        self.fam._combine_into(self.fam._scratch, self.ic, self.il,
+                               self.corr)
+        return views[0] @ V, views[1] @ V, views[2] @ V
 
 
 class _SubGrid:
@@ -567,10 +691,7 @@ def quadratic_subspace(hv: HostVector3, X: np.ndarray, k0: float,
     import scipy.linalg as sla
 
     V, MV = b_orthonormalize_np(X, hv.M3, return_BV=True)
-    A0, A1, A2 = hv.Ai()
-    A0V = A0 @ V
-    A1V = A1 @ V
-    A2V = A2 @ V
+    A0V, A1V, A2V = hv.Ai_matvec(V)
     a0 = V.T @ A0V
     a1 = V.T @ A1V
     a2 = V.T @ A2V

@@ -399,6 +399,15 @@ class TrueVectorialMaxwellSolver:
 
         n_dev = 1
         if mesh is not None and getattr(mesh, "size", 1) > 1:
+            if B < mesh.size:
+                # shrink to <= B devices: padding a narrow sweep up to
+                # the full mesh multiplies per-chip work instead of
+                # dividing it (a 3-slice CMT sweep on the 8-virtual-
+                # device CPU test mesh padded to 8 lanes on ONE core)
+                from ..parallel import design_mesh
+                mesh = design_mesh(list(mesh.devices.flat)[:B]) \
+                    if B > 1 else None
+        if mesh is not None and getattr(mesh, "size", 1) > 1:
             n_dev = mesh.size
             if B % n_dev:
                 pad = n_dev - B % n_dev
@@ -526,16 +535,18 @@ class TrueVectorialMaxwellSolver:
             cheb_passes_eff = scfg.cheb_passes
         pooled = [None] * B
 
-        # per-design instantiated host pencils: beta-INDEPENDENT, so
-        # build each at most once (the round loop used to re-run the
-        # three nnz-wide axpys of family.instantiate every round)
+        # per-design host pencils: lazy views over the shared family —
+        # zero per-design (3, nnz) storage (8 instantiated pencils held
+        # ~1.2 GB live and their axpys were 67 s of a 111 s steady
+        # sweep, scratch/prof_sweep.py); the view's A_i @ V products
+        # stream through one family-shared scratch buffer instead
         hv_cache: list = [None] * B
 
         def _hv(bix):
             if hv_cache[bix] is None:
                 g = geometries[bix]
                 hv_cache[bix] = hv_single if family is None else \
-                    family.instantiate(g.n_core**2, g.n_clad**2,
+                    family.design_view(g.n_core**2, g.n_clad**2,
                                        eps_params=g.eps_params())
             return hv_cache[bix]
 

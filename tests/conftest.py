@@ -9,6 +9,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The persistent XLA cache stays ON for tests: pl_fem_tpu scopes
+# XLA:CPU entries per host fingerprint (foreign-host AOT entries run
+# scalar-gather fallback codegen, pathologically slow), and the
+# chunk-kernel compiles the cache saves take minutes on this host.
 
 import jax  # noqa: E402
 
