@@ -31,25 +31,27 @@ if not _os.environ.get("PL_FEM_NO_COMPILE_CACHE"):
         _cache = _os.environ.get(
             "PL_FEM_COMPILE_CACHE",
             _os.path.expanduser("~/.cache/pl_fem_tpu/xla"))
-        if _os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
-            # XLA:CPU entries are AOT host machine code whose cache key
-            # does NOT cover machine features: entries written on one
-            # host load on another as mismatched codegen (XLA warns of
-            # SIGILL; observed '+prefer-no-gather' executables run
-            # scalar-gather fallbacks, pathologically slow — a CPU test
-            # that hit a foreign chunk-kernel entry ground >40 min).
-            # Scope CPU entries per host fingerprint. TPU programs
-            # compile on the device service and have no such key gap.
-            import hashlib as _hashlib
-            try:
-                with open("/proc/cpuinfo") as _f:
-                    _sig = "\n".join(
-                        ln for ln in _f.read().splitlines()
-                        if ln.startswith(("flags", "model name")))
-            except OSError:
-                _sig = "unknown"
-            _tag = _hashlib.sha1(_sig.encode()).hexdigest()[:12]
-            _cache = _os.path.join(_cache, f"host-{_tag}")
+        # Scope ALL entries per host fingerprint: XLA:CPU entries are
+        # AOT host machine code whose cache key does NOT cover machine
+        # features — entries written on one host load on another as
+        # mismatched codegen (XLA warns of SIGILL; observed
+        # '+prefer-no-gather' executables run scalar-gather fallbacks,
+        # pathologically slow — a CPU test that hit a foreign
+        # chunk-kernel entry ground >40 min, and another died with a
+        # Fatal abort). Keying on the env var alone missed runs that
+        # force CPU via jax.config.update, so scope unconditionally:
+        # TPU programs compile on the device service and simply don't
+        # care which host subdir they live under.
+        import hashlib as _hashlib
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _sig = "\n".join(
+                    ln for ln in _f.read().splitlines()
+                    if ln.startswith(("flags", "model name")))
+        except OSError:
+            _sig = "unknown"
+        _tag = _hashlib.sha1(_sig.encode()).hexdigest()[:12]
+        _cache = _os.path.join(_cache, f"host-{_tag}")
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
         # cache EVERYTHING: through the axon remote compiler even

@@ -61,6 +61,13 @@ class SolverConfig:
     # beta-drift criterion alone froze bootstrapped solves one round
     # too early (measured ~4e-4 n_eff bias at production size)
     polish_qres_tol: float = 2e-5
+    # device->host subspace-slab dtype. None = AUTO: f16 in fast mode
+    # (beta_passes == 1; the host polish's Ritz roots are second-order
+    # in a basis perturbation, so the ~1e-3 quantization costs ~1e-6
+    # n_eff — noise under fast mode's ~8e-4 class) and f32 in accuracy
+    # mode (its pooled-polish target is 2e-6). The axon tunnel moves
+    # ~17 MB/s, so halving slab bytes is ~4 s/round at production B=8.
+    xfer_dtype: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -359,7 +359,13 @@ class TrueVectorialMaxwellSolver:
             X0[:, b, :] /= (np.linalg.norm(X0[:, b, :], axis=0) + 1e-30)
             betas0[b] = float(np.median([m["beta"] for m in ms]))
             used[b] = True
-        return jnp.asarray(X0), betas0, used
+        # Ship the seed up the tunnel as f16 (half the bytes at
+        # ~28 MB/s measured upload; the (3Dp, B, k) f32 block is
+        # ~127 MB -> ~9.6 s of the steady call at production size).
+        # Quantization is harmless for a SEED: it already carries a 5%
+        # random blend and the fine filter crushes out-of-band error.
+        X16 = jnp.asarray(X0.astype(np.float16))
+        return X16.astype(jnp.float32), betas0, used
 
     # -- same-grid sweep (no reference analog: BASELINE config 2) -------
     @classmethod
@@ -483,6 +489,8 @@ class TrueVectorialMaxwellSolver:
         if binv_eff is None:
             binv_eff = 1 if (beta_passes_eff == 1
                              and boot is not None) else 4
+        xfer_f16 = (scfg.xfer_dtype == "float16"
+                    or (scfg.xfer_dtype is None and beta_passes_eff == 1))
         if boot is not None:
             _, betas_c, used_c = boot
             betas = np.where(used_c, betas_c, betas)
@@ -627,8 +635,16 @@ class TrueVectorialMaxwellSolver:
                 # full (3Dp, B, k) f32 block at only ~17 MB/s (measured
                 # 7.7 s/round at production size), so the copies run
                 # concurrently with the host polish of earlier designs
-                # instead of serializing in front of it
-                slabs = [Xr[:, j, :] for j in range(len(active))]
+                # instead of serializing in front of it.
+                # Fast mode ships the slab as f16 (half the tunnel
+                # bytes): the polish solves the f64 projected pencil on
+                # span(X), and Ritz roots are SECOND order in a basis
+                # perturbation, so the ~1e-3 quantization costs ~1e-6
+                # in n_eff — noise under fast mode's ~8e-4 class.
+                # Accuracy mode keeps f32: its pooled-polish target is
+                # 2e-6, first-order-comparable to the f16 floor.
+                Xr_ship = Xr.astype(jnp.float16) if xfer_f16 else Xr
+                slabs = [Xr_ship[:, j, :] for j in range(len(active))]
                 for s in slabs:
                     try:
                         s.copy_to_host_async()

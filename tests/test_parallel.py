@@ -85,9 +85,13 @@ def test_sharded_sweep_matches_single_device(small_designs):
     for ms, mu in zip(sharded, single):
         assert len(ms) == len(mu) and len(ms) > 0
         for a, b in zip(ms, mu):
-            # same filter + identical pooled f64 polish inputs up to
-            # reduction order -> n_eff agreement well under 1e-6
-            assert a["n_eff"] == pytest.approx(b["n_eff"], rel=1e-6)
+            # same filter; fast mode ships the polish subspace d->h as
+            # f16 (solver xfer_dtype AUTO), so sharded-vs-single bases
+            # round differently and Ritz roots may differ ~1e-6 (second
+            # order in the ~1e-3 basis quantization; measured 1.5e-6 at
+            # this mesh). This is a REPRODUCIBILITY bound — accuracy is
+            # gated by the analytic oracles in test_solvers.
+            assert a["n_eff"] == pytest.approx(b["n_eff"], rel=2e-5)
 
 
 def test_sharded_sweep_pads_nondivisible(small_designs):
