@@ -139,11 +139,16 @@ def child_main():
     }), flush=True)
 
 
-def _run_child(env_extra, timeout_s):
-    """Run one child bench; return its parsed JSON line or None."""
+def _run_child(env_extra, timeout_s, retries=2):
+    """Run one child bench; return its parsed JSON line or None.
+
+    A TPU worker crash or a mid-recovery tunnel reports the backend
+    UNAVAILABLE and the device comes back in ~60-90 s — retry instead
+    of zeroing the round's score on a transient."""
     env = dict(os.environ)
     env.update({k: str(v) for k, v in env_extra.items()})
     env["BENCH_CHILD"] = "1"
+    t0 = time.time()
     try:
         proc = subprocess.run(
             [sys.executable, "-u", os.path.abspath(__file__)],
@@ -163,6 +168,15 @@ def _run_child(env_extra, timeout_s):
                 return json.loads(line)
             except json.JSONDecodeError:
                 continue
+    transient = ("UNAVAILABLE" in proc.stderr
+                 or "Unable to initialize backend" in proc.stderr
+                 or "worker process crashed" in proc.stderr)
+    remaining = timeout_s - (time.time() - t0) - 95.0
+    if transient and retries > 0 and remaining > 120.0:
+        sys.stderr.write("backend unavailable; retrying in 90 s "
+                         f"({retries} left, {remaining:.0f}s budget)\n")
+        time.sleep(90.0)
+        return _run_child(env_extra, remaining, retries - 1)
     return None
 
 

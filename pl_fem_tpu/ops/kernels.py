@@ -484,6 +484,86 @@ def _apply_vector3_fused(qs: QFactorSweep, gs: GatherScatter, mask, parks,
     return (Yd + pk * (Xl - Xm)).reshape(D, B, C, k)
 
 
+def _apply_vector3_flat(qs: QFactorSweep, gs: GatherScatter, mask, parks,
+                        betas, alpha, Xf):
+    """A(beta) apply with the q-loop on component-split FLAT lanes.
+
+    Same algebra as :func:`_apply_vector3_fused`, but the per-element
+    math runs on three (E, B*k) arrays instead of one (E, B, 3, k): the
+    packed shape tiles at ~6% utilization (minor dim k=22 of 128 lanes,
+    second-minor 3 of 8 sublanes) and measured 40-55 ms at sweep lanes
+    when its gather (2.5 ms) and accumulate (10.5 ms) don't
+    (scratch/apply_v2.py A/B; micro_r2.log baseline). Selected by
+    PL_FEM_APPLY_LAYOUT=flat.
+    """
+    D, B, C, k = Xf.shape
+    L = B * C * k
+    BK = B * k
+    m = mask[:, None].astype(Xf.dtype)
+    Xl = Xf.reshape(D, L)
+    Xm = Xl * m
+    U = Xm[gs.elem_dofs.T].reshape(6, -1, B, C, k)   # (6, E, B, 3, k)
+    E = U.shape[1]
+    Us = jnp.transpose(U, (3, 0, 1, 2, 4)).reshape(C, 6, E, BK)
+    Uc = [[Us[c, i] for i in range(6)] for c in range(C)]
+
+    gpx = qs.gp[..., 0]                              # (E, Q, 6)
+    gpy = qs.gp[..., 1]
+    Nq = np.asarray(_N_REF)
+    Qn = Nq.shape[0]
+    b = jnp.repeat(betas, k)[None, :]                # (1, BK) lane vec
+    ie_rep = [jnp.repeat(qs.inv_eps[:, :, q].T, k, axis=1)
+              for q in range(Qn)]                    # (E, BK) each
+
+    Y = [[None] * 6 for _ in range(C)]
+    for q in range(Qn):
+        gx = gpx[:, q, :]                            # (E, 6)
+        gy = gpy[:, q, :]
+        V = [sum(float(Nq[q, i]) * Uc[c][i] for i in range(6))
+             for c in range(C)]
+        Gx = [sum(gx[:, i, None] * Uc[c][i] for i in range(6))
+              for c in range(C)]
+        Gy = [sum(gy[:, i, None] * Uc[c][i] for i in range(6))
+              for c in range(C)]
+        c1 = Gy[2] - b * V[1]                        # dy hz - b hy
+        c2 = b * V[0] - Gx[2]                        # b hx - dx hz
+        c3 = Gx[1] - Gy[0]                           # dx hy - dy hx
+        dv = Gx[0] + Gy[1] - b * V[2]
+
+        we = qs.w[:, q, None] * ie_rep[q]            # (E, BK)
+        wa = (qs.w[:, q] * alpha)[:, None]
+        c1h = we * c1
+        c2h = we * c2
+        c3h = we * c3
+        dvh = wa * dv
+
+        S = (b * c2h, -b * c1h, -b * dvh)
+        Tx = (dvh, c3h, -c2h)
+        Ty = (-c3h, dvh, c1h)
+        for c in range(C):
+            for i in range(6):
+                t = (float(Nq[q, i]) * S[c]
+                     + gx[:, i, None] * Tx[c]
+                     + gy[:, i, None] * Ty[c])
+                Y[c][i] = t if Y[c][i] is None else Y[c][i] + t
+    # (3, 6, E, BK) -> (E, 6, B, 3, k) -> (E, 6, L)
+    Ys = jnp.stack([jnp.stack(Y[c], axis=0) for c in range(C)], axis=0)
+    Ye = jnp.transpose(Ys.reshape(C, 6, E, B, k), (2, 1, 3, 0, 4))
+    Yd = _accumulate_fused(Ye.reshape(E, 6, L), gs) * m
+    pk = jnp.broadcast_to(parks[None, :, None, None], Xf.shape) \
+        .reshape(D, L)
+    return (Yd + pk * (Xl - Xm)).reshape(D, B, C, k)
+
+
+def _sweep_apply_A(qs, gs, mask, parks, betas, alpha, Xf):
+    """Layout-dispatched sweep A apply (PL_FEM_APPLY_LAYOUT)."""
+    import os as _os
+
+    if _os.environ.get("PL_FEM_APPLY_LAYOUT", "packed") == "flat":
+        return _apply_vector3_flat(qs, gs, mask, parks, betas, alpha, Xf)
+    return _apply_vector3_fused(qs, gs, mask, parks, betas, alpha, Xf)
+
+
 def _apply_mass_fused(qs: QFactorSweep, gs: GatherScatter, mask, Xl,
                       park: float = 1.0):
     """Plain-mass apply on fused lanes: (D, L) -> (D, L).
@@ -584,7 +664,7 @@ def _sweep_apply_t(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas, alpha,
     h = (0.5 * (bounds - cuts)).astype(jnp.float32)[None, :, None, None]
 
     def apply_t(Vf):
-        W = _apply_vector3_fused(qs, gs, mask, parks, betas, alpha, Vf)
+        W = _sweep_apply_A(qs, gs, mask, parks, betas, alpha, Vf)
         W = binv_f(W)
         return (W - c * Vf) / h
 
@@ -647,7 +727,7 @@ def cheb_sweep_rr_impl(qs, gs, mask, parks, betas, alpha, Xff):
         return _stacked_from_fused(out.reshape(D, B, 3, k))
 
     def _apply_A(V):
-        return _stacked_from_fused(_apply_vector3_fused(
+        return _stacked_from_fused(_sweep_apply_A(
             qs, gs, mask, parks, betas, alpha, _fused_from_stacked(V)))
 
     # per-design QR (vmapped small-path), packed applies for A/B

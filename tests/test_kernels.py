@@ -1,0 +1,72 @@
+"""Kernel-level parities: alternative apply layouts must agree exactly.
+
+The sweep A-apply has two layouts (PL_FEM_APPLY_LAYOUT): 'packed'
+(q-loop on (E, B, 3, k)) and 'flat' (component-split (E, B*k) lanes,
+built for TPU tile utilization — scratch/apply_v2.py). They are the
+same algebra reassociated, so agreement is near machine precision.
+Reference analog: the assembled curl-curl pencil rows the reference
+hands to ARPACK (/root/reference/solver_fem.py:129-175).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pl_fem_tpu.config import MeshConfig, SimulationConfig
+from pl_fem_tpu.models import MCFGeometry
+from pl_fem_tpu.ops import kernels
+from pl_fem_tpu.ops.assembly import (assemble_vector3_qf, eps_arrays,
+                                     gather_scatter, grid_to_device)
+from pl_fem_tpu.ops.femgrid import MeshGenerator, export_device_grid
+from pl_fem_tpu.ops.kernels import QFactorSweep
+from pl_fem_tpu.solvers.vectorial import lp01_neff_estimate
+
+
+@pytest.fixture(scope="module")
+def sweep_setup():
+    B, K = 3, 7
+    cfg = SimulationConfig(mesh_min_points=400, mesh_target_points=1600,
+                           mesh=MeshConfig(bucket_rounding=256))
+    geoms = [MCFGeometry(3, 8.0, 1.5, 1.535, 1.0, wavelength_um=float(w))
+             for w in np.linspace(1.50, 1.60, B)]
+    grid = MeshGenerator.generate(geoms[0], 0.5, cfg)
+    dg = export_device_grid(grid, 256)
+    ga = grid_to_device(dg, dtype=jnp.float32)
+    gs = gather_scatter(ga)
+    invs = []
+    for g in geoms:
+        qf, _ = assemble_vector3_qf(ga, eps_arrays(g.eps_params(),
+                                                   dtype=jnp.float32))
+        invs.append(qf.inv_eps)
+    qs = QFactorSweep(invJT=qf.invJT, w=qf.w, inv_eps=jnp.stack(invs),
+                      gp=ga.grad_phys)
+    betas = jnp.asarray([g.k0 * lp01_neff_estimate(g.k0, 1.5, g.n_core,
+                                                   g.n_clad)
+                         for g in geoms], jnp.float32)
+    parks = jnp.full((B,), 500.0, jnp.float32)
+    D = dg.n_dofs_padded
+    Xf = jax.random.normal(jax.random.PRNGKey(3), (D, B, 3, K),
+                           jnp.float32)
+    return qs, gs, ga.interior_mask, parks, betas, Xf
+
+
+def test_flat_apply_matches_packed(sweep_setup):
+    qs, gs, mask, parks, betas, Xf = sweep_setup
+    alpha = jnp.float32(1.0)
+    y0 = kernels._apply_vector3_fused(qs, gs, mask, parks, betas, alpha,
+                                      Xf)
+    y1 = kernels._apply_vector3_flat(qs, gs, mask, parks, betas, alpha,
+                                     Xf)
+    scale = float(jnp.abs(y0).max())
+    assert float(jnp.abs(y0 - y1).max()) / scale < 2e-6
+
+
+def test_layout_env_dispatch(sweep_setup, monkeypatch):
+    qs, gs, mask, parks, betas, Xf = sweep_setup
+    alpha = jnp.float32(1.0)
+    monkeypatch.setenv("PL_FEM_APPLY_LAYOUT", "flat")
+    y1 = kernels._sweep_apply_A(qs, gs, mask, parks, betas, alpha, Xf)
+    monkeypatch.delenv("PL_FEM_APPLY_LAYOUT")
+    y0 = kernels._sweep_apply_A(qs, gs, mask, parks, betas, alpha, Xf)
+    scale = float(jnp.abs(y0).max())
+    assert float(jnp.abs(y0 - y1).max()) / scale < 2e-6
