@@ -411,9 +411,39 @@ def _stacked_from_fused(Xf):
     return jnp.transpose(Xf, (2, 0, 1, 3)).reshape(C * D, B, k)
 
 
-def _accumulate_fused(Ye, gs: GatherScatter):
-    """(E, 6, L) element results -> (D, L) DOF sums via split gathers."""
+class BlkTables(NamedTuple):
+    """Block-accumulate drop-in for :class:`GatherScatter` (fused path).
+
+    ``elem_dofs`` (slots, 6) indexes BLOCK-ordered dof rows; the
+    accumulate is a batched 0/1-selector matmul instead of gather-sum
+    tables (see ops/blockplan.py). Built when PL_FEM_ACC=blk.
+    """
+
+    elem_dofs: jax.Array     # (slots, 6) int32, block-row dof ids
+    S: jax.Array             # (NB, TILEP, CNT*6) bf16 0/1 selector
+
+
+def _accumulate_fused(Ye, gs):
+    """(E, 6, L) element results -> (D, L) DOF sums.
+
+    GatherScatter: bounded-valence split gather-sum tables (row-latency
+    ~48 ns/row). BlkTables: one batched MXU matmul against the 0/1
+    block selector — bf16 selector entries are exact and the MXU
+    accumulates f32, so the hi/lo bf16 split of Ye keeps ~2^-16
+    relative accuracy (scratch/acc_blk.py parity 3.3e-6 vs gather-sum).
+    """
     E, six, L = Ye.shape
+    if isinstance(gs, BlkTables):
+        NB, TILEP, C6 = gs.S.shape
+        Z = Ye.reshape(NB, C6, L)
+        hi = Z.astype(jnp.bfloat16)
+        lo = (Z - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((2,), (1,)), ((0,), (0,)))
+        Y = (jax.lax.dot_general(gs.S, hi, dn,
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(gs.S, lo, dn,
+                                   preferred_element_type=jnp.float32))
+        return Y.reshape(NB * TILEP, L)
     flat = Ye.reshape(E * six, L)
     pv = jnp.where(gs.valid_v[..., None], flat[gs.idx_v], 0.0).sum(axis=1)
     pe = jnp.where(gs.valid_e[..., None], flat[gs.idx_e], 0.0).sum(axis=1)
@@ -813,19 +843,22 @@ _DISPATCH_TARGET_S = 10.0
 _SHARDED_CACHE: dict = {}
 
 
-def _sweep_sharded_fns(mesh, binv_degree: int, renorm_every: int):
+def _sweep_sharded_fns(mesh, binv_degree: int, renorm_every: int,
+                       blk: bool = False):
     """(chunk_fn, rr_fn) jitted shard_map wrappers for a device mesh."""
     from jax.sharding import PartitionSpec as P
 
     key = (tuple(d.id for d in mesh.devices.flat), binv_degree,
-           renorm_every)
+           renorm_every, blk)
     hit = _SHARDED_CACHE.get(key)
     if hit is not None:
         return hit
 
     qs_spec = QFactorSweep(invJT=P(), w=P(), inv_eps=P("designs"), gp=P())
-    gs_spec = GatherScatter(elem_dofs=P(), idx_v=P(), valid_v=P(),
-                            idx_e=P(), valid_e=P())
+    # topology tables replicate whichever container carries them
+    gs_spec = BlkTables(elem_dofs=P(), S=P()) if blk else \
+        GatherScatter(elem_dofs=P(), idx_v=P(), valid_v=P(),
+                      idx_e=P(), valid_e=P())
     d_spec = P("designs")            # (B,) per-design scalars
     t_spec = P(None, "designs")      # (D, B, 3, k) fused-lane state
 
@@ -888,7 +921,8 @@ def cheb_rr_pass_sweep_auto(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
                 * renorm_every, renorm_every)
     if n_dev > 1:
         chunk_fn, rr_fn = _sweep_sharded_fns(mesh, binv_degree,
-                                             renorm_every)
+                                             renorm_every,
+                                             blk=isinstance(gs, BlkTables))
     else:
         chunk_fn = partial(cheb_sweep_chunk, binv_degree=binv_degree,
                            renorm_every=renorm_every)
@@ -910,11 +944,16 @@ def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
                        alpha, bounds, degree: int = 300, passes: int = 2,
                        tol: float = 1e-7, max_passes: int = 8,
                        parks=None, binv_degree: int = 4,
-                       n_wanted: int = 0, mesh=None):
+                       n_wanted: int = 0, mesh=None, blk=None):
     """Adaptive driver for the packed same-grid sweep.
 
     ``mesh``: optional 'designs' device mesh — the sweep's design axis
     shards over it (see :func:`_sweep_sharded_fns`).
+
+    ``blk``: optional ops.blockplan.BlockPlan — qs/gs/mask/diag_B are
+    then slot-/block-ordered (caller's contract) and X converts to and
+    from block-dof order at this boundary (two (D,)-row gathers per
+    call, negligible next to the filter).
     """
     import logging
     import time
@@ -936,6 +975,12 @@ def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
         bounds = bounds * jnp.float32(_LUMP_BOUND)
     bounds = jnp.maximum(bounds, parks * 1.05)
     X = X0.astype(jnp.float32)
+    if blk is not None:
+        to_b, bval, from_b, nval = blk.device_perms()
+        CD, Bn, kk = X.shape
+        X = (X.reshape(3, CD // 3, Bn, kk)[:, to_b]
+             * bval[None, :, None, None].astype(X.dtype)
+             ).reshape(3 * len(to_b), Bn, kk)
     theta = Xr = res = None
     prev = np.inf
     for ip in range(max_passes):
@@ -958,6 +1003,11 @@ def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
             if maxres < eff_tol or maxres > 0.7 * prev:
                 break
             prev = maxres
+    if blk is not None:
+        CD, Bn, kk = Xr.shape
+        Xr = (Xr.reshape(3, CD // 3, Bn, kk)[:, from_b]
+              * nval[None, :, None, None].astype(Xr.dtype)
+              ).reshape(3 * len(from_b), Bn, kk)
     return theta, Xr, res
 
 

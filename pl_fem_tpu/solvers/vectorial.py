@@ -464,6 +464,20 @@ class TrueVectorialMaxwellSolver:
                 invs.append(qf_g.inv_eps)
             qs = QFactorSweep(invJT=qf_g.invJT, w=qf_g.w,
                               inv_eps=jnp.stack(invs), gp=ga.grad_phys)
+            filt_mask, filt_diag, blk_plan = ga.interior_mask, diag, None
+            if os.environ.get("PL_FEM_ACC", "") == "blk":
+                # MXU block accumulate: slot-expanded element arrays +
+                # block-ordered dof axis inside the filter only (the
+                # subspace converts at the solve_lowest_sweep boundary)
+                from ..ops.blockplan import expand_qs, get_block_plan
+                blk_plan = get_block_plan(dg)
+                if blk_plan is not None:
+                    qs = expand_qs(qs, blk_plan)
+                    gs = blk_plan.device_tables()
+                    to_b, bval, _, _ = blk_plan.device_perms()
+                    filt_mask = jnp.where(bval, ga.interior_mask[to_b],
+                                          False)
+                    filt_diag = jnp.where(bval, diag[to_b], 1.0)
 
         betas = np.array([
             g.k0 * lp01_neff_estimate(g.k0, float(np.mean(g.core_radii)),
@@ -623,13 +637,13 @@ class TrueVectorialMaxwellSolver:
                 qs._replace(inv_eps=qs.inv_eps[np.asarray(sel)])
             with timer.phase("filter"):
                 theta, Xr, res = solve_lowest_sweep(
-                    qs_act, gs, ga.interior_mask, diag, Xact, cuts[sel],
+                    qs_act, gs, filt_mask, filt_diag, Xact, cuts[sel],
                     betas[sel] * (1.0 + _jit),
                     scfg.alpha_penalty, bounds[sel],
                     degree=scfg.cheb_degree,
                     passes=cheb_passes_eff, tol=scfg.scalar_tol,
                     parks=parks[sel], n_wanted=n_gate, max_passes=mp,
-                    binv_degree=binv_eff, mesh=mesh)
+                    binv_degree=binv_eff, mesh=mesh, blk=blk_plan)
                 # start the device->host DMA of every active design's
                 # subspace slab up front: the axon tunnel moves the
                 # full (3Dp, B, k) f32 block at only ~17 MB/s (measured

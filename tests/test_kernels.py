@@ -61,6 +61,67 @@ def test_flat_apply_matches_packed(sweep_setup):
     assert float(jnp.abs(y0 - y1).max()) / scale < 2e-6
 
 
+def test_block_accumulate_matches_gather_tables(sweep_setup):
+    """ops/blockplan MXU accumulate == gather-sum tables (hi/lo bf16
+    selector matmul; tolerance is the 2^-16 split floor)."""
+    from pl_fem_tpu.ops.blockplan import build_block_plan, expand_qs
+
+    qs, gs, mask, parks, betas, Xf = sweep_setup
+    cfg = SimulationConfig(mesh_min_points=400, mesh_target_points=1600,
+                           mesh=MeshConfig(bucket_rounding=256))
+    geom = MCFGeometry(3, 8.0, 1.5, 1.535, 1.0, wavelength_um=1.55)
+    grid = MeshGenerator.generate(geom, 0.5, cfg)
+    dg = export_device_grid(grid, 256)
+    plan = build_block_plan(dg, tile=128)
+    assert plan is not None
+    E = dg.elem_dofs.shape[0]
+    L = 36
+    Ye = jax.random.normal(jax.random.PRNGKey(5), (E, 6, L), jnp.float32)
+    y0 = np.asarray(kernels._accumulate_fused(Ye, gs))       # native
+    Ye_slots = jnp.where(jnp.asarray(plan.slot_valid)[:, None, None],
+                         Ye[jnp.asarray(plan.slot_src)], 0.0)
+    y1 = np.asarray(kernels._accumulate_fused(
+        Ye_slots, plan.device_tables()))                     # block order
+    nv = dg.n_dofs
+    tb, bv = plan.to_blk, plan.blk_valid
+    scale = np.abs(y0[:nv]).max() + 1e-30
+    assert np.abs(y0[tb[bv]] - y1[bv]).max() / scale < 1e-4
+    # slot expansion keeps pad slots at zero weight
+    qse = expand_qs(
+        kernels.QFactorSweep(invJT=jnp.zeros((E, 2, 2)),
+                             w=jnp.ones((E, 4)),
+                             inv_eps=jnp.ones((2, E, 4)),
+                             gp=jnp.zeros((E, 4, 6, 2))), plan)
+    assert float(qse.w.sum()) == float(plan.slot_valid.sum()) * 4
+
+
+def test_sweep_solve_blk_matches_default(sweep_setup, monkeypatch):
+    """End-to-end solve_sweep with PL_FEM_ACC=blk reproduces the
+    default accumulate's n_eff (the block path changes data layout and
+    the accumulate mechanism, not the math)."""
+    from pl_fem_tpu.config import SolverConfig
+    from pl_fem_tpu.solvers import TrueVectorialMaxwellSolver
+
+    cfg = SimulationConfig(
+        mesh_min_points=400, mesh_target_points=1600,
+        mesh=MeshConfig(bucket_rounding=256),
+        solver=SolverConfig(backend="tpu", cheb_degree=120, cheb_passes=2,
+                            beta_passes=1, bootstrap=False))
+    geoms = [MCFGeometry(3, 8.0, 1.5, 1.535, 1.0, wavelength_um=w)
+             for w in (1.53, 1.57)]
+    grid = MeshGenerator.generate(geoms[0], 0.5, cfg)
+    dg = export_device_grid(grid, 256)
+    base = TrueVectorialMaxwellSolver.solve_sweep(geoms, dg, 4, cfg)
+    monkeypatch.setenv("PL_FEM_ACC", "blk")
+    blk = TrueVectorialMaxwellSolver.solve_sweep(geoms, dg, 4, cfg)
+    for ms, mu in zip(blk, base):
+        assert len(ms) == len(mu) and len(ms) > 0
+        for a, b in zip(ms, mu):
+            # f16 slab quantization of differently-rounded bases bounds
+            # reproducibility (see test_parallel), not the 2^-16 acc
+            assert a["n_eff"] == pytest.approx(b["n_eff"], rel=2e-5)
+
+
 def test_layout_env_dispatch(sweep_setup, monkeypatch):
     qs, gs, mask, parks, betas, Xf = sweep_setup
     alpha = jnp.float32(1.0)
