@@ -259,11 +259,17 @@ class TrueVectorialMaxwellSolver:
         # one beta round too (2e-6-grade coarse roots are wasted on a
         # seed and the qres-gated loop would burn up to 6 rounds)
         coarse_bp = 2 if scfg.beta_passes >= 2 else 1
+        # 3-level hierarchy: accuracy mode's coarse grid is ~n/3 (large
+        # enough that ITS random-init filter is the bootstrap phase's
+        # dominant cost) — let the recursion bootstrap it too. Fast
+        # mode's coarse grid is a ~2k-point cloud; a third level there
+        # only adds fixed per-solve overhead (seed quality is
+        # irrelevant to the single fine pass — see the ref_c walk).
         coarse_cfg = dc.replace(
             cfg, mesh_min_points=coarse_min,
             mesh_target_points=4 * coarse_min,
             mesh=dc.replace(cfg.mesh, bucket_rounding=256),
-            solver=dc.replace(scfg, bootstrap=False,
+            solver=dc.replace(scfg, bootstrap=scfg.beta_passes >= 2,
                               cheb_degree=max(100, scfg.cheb_degree // 2),
                               cheb_passes=2, beta_passes=coarse_bp))
         try:
