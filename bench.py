@@ -60,6 +60,11 @@ def child_main():
     # persistent XLA compile cache at ~/.cache/pl_fem_tpu/xla (env
     # PL_FEM_COMPILE_CACHE overrides); do not fight it here — two
     # processes racing different cache dirs was a round-2 bug.
+    if os.environ.get("BENCH_PLATFORM"):
+        # logic-validation hook (the axon plugin overrides JAX_PLATFORMS
+        # env vars; only jax.config.update forces CPU) — the scored
+        # bench never sets this
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
     from pl_fem_tpu.config import MeshConfig, SimulationConfig, SolverConfig
     from pl_fem_tpu.models import MCFGeometry
