@@ -88,7 +88,12 @@ _PROLONG_CACHE: dict = {}
 
 
 def _prolongation_cached(grid_c: FEMGrid, dg: DeviceGrid):
-    """Coarse->fine P2 prolongation, cached per (coarse, fine) pair."""
+    """Coarse->fine P2 prolongation, cached per (coarse, fine) pair.
+
+    Returns ``(P_csr, (cols, wts))``: the host CSR plus padded device
+    gather tables (Dp, 6) — every P row is the 6 P2 shape values of the
+    containing coarse element, so the prolongation runs ON DEVICE as
+    six gather-FMAs (see ``_seed_from_coarse``)."""
     import zlib
 
     from ..ops.femgrid import p2_prolongation
@@ -96,13 +101,57 @@ def _prolongation_cached(grid_c: FEMGrid, dg: DeviceGrid):
     key = (zlib.crc32(grid_c.elem_dofs.tobytes()), grid_c.n_dofs,
            zlib.crc32(np.ascontiguousarray(
                dg.dof_coords[:dg.n_dofs]).tobytes()), dg.n_dofs)
-    P = _PROLONG_CACHE.get(key)
-    if P is None:
+    hit = _PROLONG_CACHE.get(key)
+    if hit is None:
         P = p2_prolongation(grid_c, dg.dof_coords[:dg.n_dofs])
+        Pc = P.tocsr()
+        n = Pc.shape[0]
+        Dp = dg.n_dofs_padded
+        W = int(np.diff(Pc.indptr).max()) if Pc.nnz else 1
+        cols = np.zeros((Dp, W), np.int32)
+        wts = np.zeros((Dp, W), np.float32)
+        for r in range(n):
+            s, e = Pc.indptr[r], Pc.indptr[r + 1]
+            cols[r, :e - s] = Pc.indices[s:e]
+            wts[r, :e - s] = Pc.data[s:e]
+        hit = (P, (jnp.asarray(cols), jnp.asarray(wts)))
         if len(_PROLONG_CACHE) > 8:
             _PROLONG_CACHE.clear()
-        _PROLONG_CACHE[key] = P
-    return P
+        _PROLONG_CACHE[key] = hit
+    return hit
+
+
+@jax.jit
+def _seed_from_coarse(Hc16, colmask, Pcols, Pwts, key):
+    """Device-side bootstrap seed: prolong + blend + normalize.
+
+    Hc16 (B, 3, nc, k) f16 coarse Ritz vectors (zero-padded columns),
+    colmask (B, k) 1.0 on seeded columns, Pcols/Pwts (Dp, W) gather
+    tables. Replaces the host-side (3Dp, B, k) seed assembly + its f32
+    upload through the ~28 MB/s axon tunnel (~10 s/steady sweep at
+    production size) with a ~10 MB f16 upload of the coarse vectors.
+    Seeding semantics match the host version: seeded columns normalize
+    then blend 5% random (the prolonged span is error-correlated and a
+    Chebyshev filter can only shrink a span — see _bootstrap_sweep),
+    unseeded columns are unit random.
+    """
+    B, C, nc, k = Hc16.shape
+    Dp, W = Pcols.shape
+    Hc = Hc16.astype(jnp.float32)
+    F = None
+    for j in range(W):
+        g = Hc[:, :, Pcols[:, j], :] * Pwts[None, None, :, j, None]
+        F = g if F is None else F + g                 # (B, 3, Dp, k)
+    F = jnp.transpose(F, (1, 2, 0, 3)).reshape(C * Dp, B, k)
+    k1, k2 = jax.random.split(key)
+    R1 = jax.random.normal(k1, F.shape, jnp.float32)
+    R2 = jax.random.normal(k2, F.shape, jnp.float32)
+    nF = jnp.linalg.norm(F, axis=0, keepdims=True) + 1e-30
+    nR = jnp.linalg.norm(R1, axis=0, keepdims=True) + 1e-30
+    m = colmask[None]                                 # (1, B, k)
+    X = F / nF * m + R1 / nR * (1.0 - m)
+    X = X + (0.05 / jnp.sqrt(jnp.float32(F.shape[0]))) * R2
+    return X / (jnp.linalg.norm(X, axis=0, keepdims=True) + 1e-30)
 
 
 def _as_device_grid(grid, config: SimulationConfig) -> DeviceGrid:
@@ -323,55 +372,44 @@ class TrueVectorialMaxwellSolver:
         if not any(results_c):
             return None
 
-        P = _prolongation_cached(grid_c, dg)
-        rng = np.random.default_rng(11)
-        X0 = np.zeros((3 * Dp, B, k), dtype=np.float32)
+        _, (Pcols, Pwts) = _prolongation_cached(grid_c, dg)
+        nc = grid_c.n_dofs
+        # Seed only HALF the columns from the coarse modes: the
+        # prolonged columns share the prolongation's error directions
+        # (correlated), so a fully-prolonged span pools into nothing
+        # new and the polished root stays first-order in that error
+        # (measured ~3e-4 at production size). The random half carries
+        # independent error directions, letting the pooled f64 polish
+        # cancel to second order (measured qres 1.3e-4 -> ~1e-5, n_eff
+        # error -> ~2e-6). A 5% random blend on seeded columns keeps
+        # every direction represented: a Chebyshev filter is a
+        # polynomial of the operator — it can only SHRINK a span, so a
+        # fully prolonged seed freezes the prolongation's missing
+        # component permanently (qres plateau ~1.7e-4).
+        #
+        # The seed is ASSEMBLED ON DEVICE (_seed_from_coarse): only the
+        # (B, 3, nc, k_half) coarse Ritz block goes up the tunnel, as
+        # f16 (~10 MB vs the ~127 MB f32 fine-grid seed, at a measured
+        # ~28 MB/s — ~10 s of the steady production sweep). f16 is
+        # harmless for a seed that carries a 5% random blend.
+        Hc16 = np.zeros((B, 3, nc, k), dtype=np.float16)
+        colmask = np.zeros((B, k), dtype=np.float32)
         betas0 = np.zeros(B)
         used = np.zeros(B, dtype=bool)
         for b, ms in enumerate(results_c):
-            # Seed only HALF the columns from the coarse modes: the
-            # prolonged columns share the prolongation's error
-            # directions (correlated), so a fully-prolonged span pools
-            # into nothing new and the polished root stays first-order
-            # in that error (measured ~3e-4 at production size). The
-            # random half carries independent error directions, letting
-            # the pooled f64 polish cancel to second order (measured
-            # qres 1.3e-4 -> ~1e-5, n_eff error -> ~2e-6).
             nm = min(len(ms), max(k // 2, k - 8))
             if nm == 0:
-                col = rng.standard_normal((3 * Dp, k))
-                X0[:, b, :] = col / np.linalg.norm(col, axis=0)
-                continue
-            Hc = np.stack([np.concatenate([m["Ex_dofs"], m["Ey_dofs"],
-                                           m["Hz_dofs"]])
-                           for m in ms[:nm]], axis=1)     # (3nc, nm)
-            nc = grid_c.n_dofs
-            for c in range(3):
-                X0[c * Dp:c * Dp + n, b, :nm] = \
-                    P @ Hc[c * nc:(c + 1) * nc]
-            if nm < k:
-                X0[:, b, nm:] = rng.standard_normal((3 * Dp, k - nm))
-            X0[:, b, :] /= (np.linalg.norm(X0[:, b, :], axis=0) + 1e-30)
-            # A Chebyshev filter is a polynomial of the operator: it can
-            # only SHRINK a span, never add directions. A fully
-            # prolonged seed therefore freezes the prolongation's
-            # missing component permanently (measured: production-size
-            # qres plateaus at ~1.7e-4 regardless of degree or rounds).
-            # A small random blend seeds every direction; one fine pass
-            # crushes its out-of-band part while the warm start is
-            # preserved.
-            X0[:, b, :] += 0.05 * rng.standard_normal((3 * Dp, k)) \
-                / np.sqrt(3 * Dp)
-            X0[:, b, :] /= (np.linalg.norm(X0[:, b, :], axis=0) + 1e-30)
+                continue                 # unseeded -> unit random cols
+            for j, mode in enumerate(ms[:nm]):
+                Hc16[b, 0, :, j] = mode["Ex_dofs"]
+                Hc16[b, 1, :, j] = mode["Ey_dofs"]
+                Hc16[b, 2, :, j] = mode["Hz_dofs"]
+            colmask[b, :nm] = 1.0
             betas0[b] = float(np.median([m["beta"] for m in ms]))
             used[b] = True
-        # Ship the seed up the tunnel as f16 (half the bytes at
-        # ~28 MB/s measured upload; the (3Dp, B, k) f32 block is
-        # ~127 MB -> ~9.6 s of the steady call at production size).
-        # Quantization is harmless for a SEED: it already carries a 5%
-        # random blend and the fine filter crushes out-of-band error.
-        X16 = jnp.asarray(X0.astype(np.float16))
-        return X16.astype(jnp.float32), betas0, used
+        X0 = _seed_from_coarse(jnp.asarray(Hc16), jnp.asarray(colmask),
+                               Pcols, Pwts, jax.random.PRNGKey(11))
+        return X0, betas0, used
 
     # -- same-grid sweep (no reference analog: BASELINE config 2) -------
     @classmethod
