@@ -122,6 +122,33 @@ def test_sweep_solve_blk_matches_default(sweep_setup, monkeypatch):
             assert a["n_eff"] == pytest.approx(b["n_eff"], rel=2e-5)
 
 
+def test_sweep_solve_blk_sharded(sweep_setup, monkeypatch):
+    """PL_FEM_ACC=blk under the 8-device designs mesh: BlkTables
+    replicate through the generic shard_map specs and parity holds."""
+    from pl_fem_tpu.config import SolverConfig
+    from pl_fem_tpu.parallel import design_mesh
+    from pl_fem_tpu.solvers import TrueVectorialMaxwellSolver
+
+    cfg = SimulationConfig(
+        mesh_min_points=400, mesh_target_points=1600,
+        mesh=MeshConfig(bucket_rounding=256),
+        solver=SolverConfig(backend="tpu", cheb_degree=120, cheb_passes=2,
+                            beta_passes=1, bootstrap=False))
+    geoms = [MCFGeometry(3, 8.0, 1.5, 1.535, 1.0, wavelength_um=w)
+             for w in (1.53, 1.55, 1.57, 1.59)]
+    grid = MeshGenerator.generate(geoms[0], 0.5, cfg)
+    dg = export_device_grid(grid, 256)
+    monkeypatch.setenv("PL_FEM_ACC", "blk")
+    single = TrueVectorialMaxwellSolver.solve_sweep(geoms, dg, 4, cfg)
+    mesh = design_mesh(jax.devices()[:4])
+    sharded = TrueVectorialMaxwellSolver.solve_sweep(geoms, dg, 4, cfg,
+                                                     mesh=mesh)
+    for ms, mu in zip(sharded, single):
+        assert len(ms) == len(mu) and len(ms) > 0
+        for a, b in zip(ms, mu):
+            assert a["n_eff"] == pytest.approx(b["n_eff"], rel=2e-5)
+
+
 def test_layout_env_dispatch(sweep_setup, monkeypatch):
     qs, gs, mask, parks, betas, Xf = sweep_setup
     alpha = jnp.float32(1.0)
