@@ -15,13 +15,21 @@ assembled system (the reference itself is not runnable here — its scipy
 Prints exactly one JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Budget-proofing (round-3, after BENCH_r02 timed out in warmup): the
-parent process (no jax import) first runs a SMALL-mesh child as cheap
-insurance, then a production-mesh child under the remaining budget
-(``BENCH_BUDGET_S``, default 840 s). Whichever production result
-exists wins; otherwise the small-mesh fallback is printed with
-``"fallback": true``. A SIGTERM/SIGINT from an outer ``timeout`` still
-prints the best JSON seen so far before exiting.
+Hang-proofing (round 4, after BENCH_r03 zeroed on a backend-init hang):
+
+- the parent never launches an expensive child until a cheap liveness
+  probe (``timeout``-bounded ``jax.devices()`` subprocess) passes; a
+  wedged backend costs ~75 s per probe, retried across the budget,
+  instead of a whole phase.
+- the child prints a PROVISIONAL JSON line immediately after the timed
+  fast-mode sweep (``"baseline": "stored"``), then after the live
+  ARPACK baseline, then after the accuracy-mode sweep — so a child
+  killed at ANY point keeps everything it finished.
+- the parent parses ``e.stdout`` of a timed-out child
+  (``subprocess.TimeoutExpired`` carries the output read so far) and
+  keeps the best-ranked JSON across all phases.
+- a SIGTERM/SIGINT from an outer ``timeout`` still prints the best
+  JSON seen so far before exiting.
 """
 import json
 import os
@@ -49,10 +57,32 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "840"))
 # a cold cache)
 FB_MESH_MIN = int(os.environ.get("BENCH_FB_MESH_MIN", "3000"))
 FB_REFINE = float(os.environ.get("BENCH_FB_REF", "1.0"))
+# cap on the live ARPACK baseline loop inside the child; past it the
+# stored baseline (docs/BASELINE_HOST.json) stands in
+BASELINE_CAP_S = float(os.environ.get("BENCH_BASELINE_CAP_S", "240"))
+PROBE_T = float(os.environ.get("BENCH_PROBE_T", "75"))
+
+_STORED_BASELINE = Path(__file__).parent / "docs" / "BASELINE_HOST.json"
+
+
+def _stored_baseline(mesh_points):
+    """Pre-measured ARPACK s/design on this host, if mesh-matched."""
+    try:
+        d = json.loads(_STORED_BASELINE.read_text())
+        if abs(d["mesh_points"] - mesh_points) / mesh_points < 0.15:
+            return float(d["per_design_s"])
+    except (OSError, KeyError, ValueError, ZeroDivisionError):
+        pass
+    return None
 
 
 def child_main():
-    """One full bench at the configured mesh; prints one JSON line."""
+    """One full bench at the configured mesh.
+
+    Prints a JSON line after EVERY completed stage (fast sweep ->
+    live baseline -> accuracy sweep); the parent keeps the last one,
+    so a kill at any point preserves all finished stages.
+    """
     import numpy as np
 
     import jax
@@ -77,14 +107,20 @@ def child_main():
     # pass. Measured n_eff accuracy at the production mesh: ~8e-4
     # relative — the same error class as the ARPACK baseline's
     # transverse pencil on the identical mesh (~+1e-3, which includes a
-    # ~6e-4 model error no refinement removes; docs/PARITY_r2.md). The
-    # accuracy mode (beta_passes>=2) reaches ~2e-6 at ~2x the cost
-    # (per-design round exit, round 3).
+    # ~6e-4 model error no refinement removes; docs/PARITY_r2.md).
     cfg = SimulationConfig(
         mesh_min_points=MESH_MIN, mesh_target_points=MESH_MIN,
         mesh=MeshConfig(bucket_rounding=1024),
         solver=SolverConfig(backend="tpu", cheb_degree=200, cheb_passes=2,
                             beta_passes=1))
+    # Accuracy mode (beta_passes>=2 + qres-gated outer rounds):
+    # measured 2-3e-6 relative n_eff on conforming meshes — the config
+    # that satisfies the <5e-5 parity gate (/root/reference/README.md:44).
+    cfg_acc = SimulationConfig(
+        mesh_min_points=MESH_MIN, mesh_target_points=MESH_MIN,
+        mesh=MeshConfig(bucket_rounding=1024),
+        solver=SolverConfig(backend="tpu", cheb_degree=200, cheb_passes=2,
+                            beta_passes=2))
     cfg_base = SimulationConfig(
         mesh_min_points=MESH_MIN, mesh_target_points=MESH_MIN,
         mesh=MeshConfig(bucket_rounding=1024),
@@ -120,73 +156,159 @@ def child_main():
                      f"{rate:.1f} designs/hour "
                      f"(modes per design: {[len(m) for m in sweep]})\n")
 
-    # baseline: reference algorithm (ARPACK shift-invert) on host CPU
-    t0 = time.time()
-    for wl in wls[:N_BASELINE]:
-        g = make_geom(float(wl))
-        TrueVectorialMaxwellSolver(g, config=cfg_base) \
-            .solve_vectorial_modes(dg, N_MODES)
-    base_per_design = (time.time() - t0) / N_BASELINE
-    base_rate = 3600.0 / base_per_design
-    sys.stderr.write(f"baseline (ARPACK): {base_per_design:.2f} s/design "
-                     f"-> {base_rate:.1f} designs/hour\n")
-
-    print(json.dumps({
+    result = {
         "metric": "designs_per_hour_7core_hex_10modes",
         "value": round(rate, 2),
         "unit": "designs/hour/chip",
-        "vs_baseline": round(rate / base_rate, 2),
+        "vs_baseline": 0.0,
         "mesh_points": grid.n_points,
         "n_dofs": grid.n_dofs,
         "warmup_s": round(warmup_s, 1),
         "per_design_s": round(per_design, 2),
-        "baseline_per_design_s": round(base_per_design, 2),
-    }), flush=True)
+    }
+    stored = _stored_baseline(grid.n_points)
+    if stored is not None:
+        result["vs_baseline"] = round(stored / per_design, 2)
+        result["baseline_per_design_s"] = stored
+        result["baseline"] = "stored"
+    print(json.dumps(result), flush=True)      # provisional #1
+
+    # live baseline: reference algorithm (ARPACK shift-invert) on host
+    # CPU, time-capped; the stored number stands in past the cap
+    t_base0 = time.time()
+    n_done = 0
+    for wl in wls[:N_BASELINE]:
+        g = make_geom(float(wl))
+        TrueVectorialMaxwellSolver(g, config=cfg_base) \
+            .solve_vectorial_modes(dg, N_MODES)
+        n_done += 1
+        if time.time() - t_base0 > BASELINE_CAP_S:
+            break
+    if n_done:
+        base_per_design = (time.time() - t_base0) / n_done
+        sys.stderr.write(f"baseline (ARPACK): {base_per_design:.2f} "
+                         f"s/design over {n_done}\n")
+        result["vs_baseline"] = round(base_per_design / per_design, 2)
+        result["baseline_per_design_s"] = round(base_per_design, 2)
+        result["baseline"] = "measured"
+        print(json.dumps(result), flush=True)  # provisional #2
+
+    # accuracy-mode sweep (same bucket, warm cache): throughput AT the
+    # <5e-5 n_eff parity gate
+    try:
+        t0 = time.time()
+        TrueVectorialMaxwellSolver.solve_sweep(geoms, dg, N_MODES, cfg_acc)
+        acc_per_design = (time.time() - t0) / N_SWEEP
+        sys.stderr.write(f"accuracy sweep: {acc_per_design:.2f} s/design\n")
+        result["accuracy_per_design_s"] = round(acc_per_design, 2)
+        result["accuracy_designs_per_hour"] = round(3600.0 / acc_per_design,
+                                                    2)
+        if "baseline_per_design_s" in result:
+            result["accuracy_vs_baseline"] = round(
+                result["baseline_per_design_s"] / acc_per_design, 2)
+        result["accuracy_mode"] = "beta_passes=2 qres-gated (~2e-6 n_eff)"
+    except Exception as e:  # noqa: BLE001 — keep the fast-mode result
+        sys.stderr.write(f"accuracy sweep failed: {e!r}\n")
+    print(json.dumps(result), flush=True)      # final
 
 
-def _run_child(env_extra, timeout_s, retries=2):
-    """Run one child bench; return its parsed JSON line or None.
+# ---------------------------------------------------------------------------
+# parent: probe -> phases -> best JSON
+# ---------------------------------------------------------------------------
 
-    A TPU worker crash or a mid-recovery tunnel reports the backend
-    UNAVAILABLE and the device comes back in ~60-90 s — retry instead
-    of zeroing the round's score on a transient."""
+def _parse_json_lines(text):
+    """Last parseable JSON object line in ``text``, or None."""
+    best = None
+    for line in (text or "").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                best = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return best
+
+
+def _rank(res):
+    """Order results: production beats fallback, measured-baseline and
+    accuracy fields beat provisional, later stages beat earlier."""
+    if res is None:
+        return (-1,)
+    return (0 if res.get("fallback") else 1,
+            1 if res.get("baseline") == "measured" else 0,
+            1 if "accuracy_per_design_s" in res else 0,
+            1 if res.get("value", 0) > 0 else 0)
+
+
+def _probe_backend(timeout_s=PROBE_T):
+    """True iff the jax backend initializes AND computes within bound.
+
+    Runs in a subprocess so a wedged backend init (the r03 failure
+    mode: ``jax.devices()`` never returns) costs ``timeout_s``, not a
+    whole phase."""
+    code = ("import os, jax; "
+            "p = os.environ.get('BENCH_PLATFORM'); "
+            "p and jax.config.update('jax_platforms', p); "
+            "import jax.numpy as jnp; "
+            "assert float(jnp.ones((8, 8)).sum()) == 64.0; print('ok')")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+        return proc.returncode == 0 and "ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_backend(deadline):
+    """Probe until the backend answers or ``deadline`` passes."""
+    n = 0
+    while True:
+        t0 = time.time()
+        left = deadline - t0
+        if left <= 5.0:
+            return False
+        if _probe_backend(min(PROBE_T, left)):
+            if n:
+                sys.stderr.write(f"backend live after {n} failed "
+                                 "probes\n")
+            return True
+        n += 1
+        sys.stderr.write(f"backend probe {n} failed "
+                         f"({time.time() - t0:.0f}s); retrying\n")
+        if deadline - time.time() > 30.0:
+            time.sleep(20.0)
+
+
+def _run_child(env_extra, timeout_s):
+    """Run one child bench; return its best JSON line or None.
+
+    Parses stdout whether the child EXITED or TIMED OUT
+    (``TimeoutExpired.stdout`` carries everything read so far), so the
+    provisional lines survive a kill at any stage."""
     env = dict(os.environ)
     env.update({k: str(v) for k, v in env_extra.items()})
     env["BENCH_CHILD"] = "1"
-    t0 = time.time()
     try:
         proc = subprocess.run(
             [sys.executable, "-u", os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=timeout_s)
+        out, err = proc.stdout, proc.stderr
     except subprocess.TimeoutExpired as e:
         sys.stderr.write(f"bench child timed out after {timeout_s:.0f}s\n")
-        tail = (e.stderr or b"")
-        if isinstance(tail, bytes):
-            tail = tail.decode(errors="replace")
-        sys.stderr.write(tail[-800:] + "\n")
-        return None
-    sys.stderr.write(proc.stderr[-2000:] + "\n")
-    for line in reversed(proc.stdout.splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                continue
-    transient = ("UNAVAILABLE" in proc.stderr
-                 or "Unable to initialize backend" in proc.stderr
-                 or "worker process crashed" in proc.stderr)
-    remaining = timeout_s - (time.time() - t0) - 95.0
-    if transient and retries > 0 and remaining > 120.0:
-        sys.stderr.write("backend unavailable; retrying in 90 s "
-                         f"({retries} left, {remaining:.0f}s budget)\n")
-        time.sleep(90.0)
-        return _run_child(env_extra, remaining, retries - 1)
-    return None
+        out = e.stdout or b""
+        err = e.stderr or b""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        if isinstance(err, bytes):
+            err = err.decode(errors="replace")
+    sys.stderr.write((err or "")[-2000:] + "\n")
+    return _parse_json_lines(out)
 
 
 def main():
     t_start = time.time()
+    deadline = t_start + BUDGET_S - 10.0
     best = {}          # best[0] holds the best JSON dict seen so far
     printed = []
 
@@ -195,6 +317,16 @@ def main():
             return
         printed.append(True)
         print(json.dumps(result), flush=True)
+
+    def consider(res, fallback=False):
+        if res is None:
+            return
+        if fallback:
+            res = dict(res)
+            res["fallback"] = True
+        if _rank(res) > _rank(best.get(0)):
+            best[0] = res
+            sys.stderr.write(f"best so far: {res}\n")
 
     def on_signal(signum, frame):
         # an outer `timeout` sent TERM/INT: print what we have so the
@@ -211,27 +343,42 @@ def main():
     signal.signal(signal.SIGTERM, on_signal)
     signal.signal(signal.SIGINT, on_signal)
 
-    # Phase A — small-mesh insurance (cheap compiles, ~2 min)
-    fb_timeout = min(300.0, 0.45 * BUDGET_S)
-    res = _run_child({"BENCH_MESH_MIN": FB_MESH_MIN,
-                      "BENCH_REF": FB_REFINE}, fb_timeout)
-    if res is not None:
-        res_fb = dict(res)
-        res_fb["fallback"] = True
-        best[0] = res_fb
-        sys.stderr.write(f"fallback result ready: {res_fb}\n")
+    # Never start an expensive child against a wedged backend: probe
+    # first, retrying across (most of) the budget. Reserve enough tail
+    # to still run a production child if the backend comes back late.
+    if not _wait_backend(deadline - 240.0):
+        # one last probe window against the full deadline
+        if not _wait_backend(min(deadline, time.time() + PROBE_T + 5.0)):
+            emit({"metric": "designs_per_hour_7core_hex_10modes",
+                  "value": 0.0, "unit": "designs/hour/chip",
+                  "vs_baseline": 0.0,
+                  "error": "TPU backend unavailable for the whole "
+                           "bench budget (liveness probes never passed)"})
+            return
 
-    # Phase B — production mesh under the remaining budget
-    remaining = BUDGET_S - (time.time() - t_start) - 10.0
-    if remaining >= 180.0:
+    # Phase A — small-mesh insurance (cheap compiles, ~2 min); skipped
+    # when the budget is tight so the production phase keeps >= 420 s
+    remaining = deadline - time.time()
+    if remaining > 600.0:
+        res = _run_child({"BENCH_MESH_MIN": FB_MESH_MIN,
+                          "BENCH_REF": FB_REFINE,
+                          "BENCH_BASELINE_CAP_S": 60},
+                         min(240.0, remaining - 420.0))
+        consider(res, fallback=True)
+
+    # Phase B — production mesh under the remaining budget, with one
+    # retry if the first child produced nothing and budget remains
+    for attempt in range(2):
+        remaining = deadline - time.time()
+        if remaining < 150.0:
+            break
+        if attempt and not _wait_backend(deadline - 120.0):
+            break
         res = _run_child({"BENCH_MESH_MIN": MESH_MIN,
                           "BENCH_REF": REFINE}, remaining)
+        consider(res)
         if res is not None:
-            best[0] = res
-    else:
-        sys.stderr.write(f"skipping production phase: only "
-                         f"{remaining:.0f}s left of BENCH_BUDGET_S="
-                         f"{BUDGET_S:.0f}\n")
+            break
 
     if best:
         emit(best[0])
