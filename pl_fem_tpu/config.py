@@ -61,6 +61,19 @@ class SolverConfig:
     # beta-drift criterion alone froze bootstrapped solves one round
     # too early (measured ~4e-4 n_eff bias at production size)
     polish_qres_tol: float = 2e-5
+    # sweep A-apply lane layout: 'packed' (q-loop on (E, B, 3, k)) or
+    # 'flat' (component-split (E, B*k) lanes, built for TPU tile
+    # utilization — the packed shape tiles at ~6% MXU/VPU occupancy at
+    # k=22). None = env PL_FEM_APPLY_LAYOUT or 'packed'. The value is
+    # threaded to the kernels as a STATIC jit argument, so the
+    # executable cache keys on it (an env read at trace time silently
+    # reused stale executables when toggled in-process).
+    apply_layout: Optional[str] = None
+    # element->dof accumulate: 'gather' (bounded-valence gather-sum
+    # tables, ~48 ns/row latency-bound) or 'blk' (block-partitioned
+    # MXU 0/1-selector matmul, ops/blockplan.py). None = env
+    # PL_FEM_ACC or 'gather'.
+    accumulate: Optional[str] = None
     # device->host subspace-slab dtype. None = AUTO: f16 in fast mode
     # (beta_passes == 1; the host polish's Ritz roots are second-order
     # in a basis perturbation, so the ~1e-3 quantization costs ~1e-6

@@ -585,12 +585,20 @@ def _apply_vector3_flat(qs: QFactorSweep, gs: GatherScatter, mask, parks,
     return (Yd + pk * (Xl - Xm)).reshape(D, B, C, k)
 
 
-def _sweep_apply_A(qs, gs, mask, parks, betas, alpha, Xf):
-    """Layout-dispatched sweep A apply (PL_FEM_APPLY_LAYOUT)."""
-    import os as _os
+def _sweep_apply_A(qs, gs, mask, parks, betas, alpha, Xf,
+                   layout: str = "packed"):
+    """Layout-dispatched sweep A apply.
 
-    if _os.environ.get("PL_FEM_APPLY_LAYOUT", "packed") == "flat":
+    ``layout`` arrives as an EXPLICIT (static) argument threaded from
+    ``SolverConfig.apply_layout`` — never read from the environment
+    here: this function runs under trace, and the jit cache would not
+    key on an env read (toggling the knob in-process silently reused
+    the stale executable; round-3 verdict finding)."""
+    if layout == "flat":
         return _apply_vector3_flat(qs, gs, mask, parks, betas, alpha, Xf)
+    if layout != "packed":
+        raise ValueError(f"unknown apply layout {layout!r} "
+                         "(expected 'packed' or 'flat')")
     return _apply_vector3_fused(qs, gs, mask, parks, betas, alpha, Xf)
 
 
@@ -659,7 +667,8 @@ def _apply_binv_fused(qs: QFactorSweep, gs: GatherScatter, mask, dinv_sqrt,
 
 
 def _sweep_apply_t(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas, alpha,
-                   cuts, bounds, D, B, k, binv_degree):
+                   cuts, bounds, D, B, k, binv_degree,
+                   layout: str = "packed"):
     """Shifted-scaled filter operator T = (B^{-1}A - c) / h, fused.
 
     ``binv_degree == 0`` selects the HRZ-LUMPED mass inverse: B_l =
@@ -694,7 +703,7 @@ def _sweep_apply_t(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas, alpha,
     h = (0.5 * (bounds - cuts)).astype(jnp.float32)[None, :, None, None]
 
     def apply_t(Vf):
-        W = _sweep_apply_A(qs, gs, mask, parks, betas, alpha, Vf)
+        W = _sweep_apply_A(qs, gs, mask, parks, betas, alpha, Vf, layout)
         W = binv_f(W)
         return (W - c * Vf) / h
 
@@ -716,7 +725,8 @@ def _sweep_iterate(apply_t, T0, T1, steps, renorm_every):
 def cheb_sweep_chunk_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
                           alpha, T0, T1, cuts, bounds, steps,
                           first, binv_degree: int = 4,
-                          renorm_every: int = 8):
+                          renorm_every: int = 8,
+                          layout: str = "packed"):
     """Advance the sweep recurrence by ``steps`` (one bounded dispatch).
 
     Splitting the degree loop across dispatches exists because single
@@ -735,7 +745,7 @@ def cheb_sweep_chunk_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
     D, B, _, k = T0.shape
     apply_t = _sweep_apply_t(qs, gs, mask, dinv_sqrt, lo, hi, parks,
                              betas, alpha, cuts, bounds, D, B, k,
-                             binv_degree)
+                             binv_degree, layout)
     first = jnp.asarray(first, bool)
     T1 = jax.lax.cond(first, lambda: apply_t(T0), lambda: T1)
     steps = jnp.asarray(steps, jnp.int32) - first.astype(jnp.int32)
@@ -743,10 +753,11 @@ def cheb_sweep_chunk_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
 
 
 cheb_sweep_chunk = partial(jax.jit, static_argnames=(
-    "binv_degree", "renorm_every"))(cheb_sweep_chunk_impl)
+    "binv_degree", "renorm_every", "layout"))(cheb_sweep_chunk_impl)
 
 
-def cheb_sweep_rr_impl(qs, gs, mask, parks, betas, alpha, Xff):
+def cheb_sweep_rr_impl(qs, gs, mask, parks, betas, alpha, Xff,
+                       layout: str = "packed"):
     """Rayleigh-Ritz tail on a filtered fused-lane subspace."""
     D, B, _, k = Xff.shape
     Xf = _stacked_from_fused(Xff)
@@ -758,7 +769,8 @@ def cheb_sweep_rr_impl(qs, gs, mask, parks, betas, alpha, Xff):
 
     def _apply_A(V):
         return _stacked_from_fused(_sweep_apply_A(
-            qs, gs, mask, parks, betas, alpha, _fused_from_stacked(V)))
+            qs, gs, mask, parks, betas, alpha, _fused_from_stacked(V),
+            layout))
 
     # per-design QR (vmapped small-path), packed applies for A/B
     hp = jax.lax.Precision.HIGHEST
@@ -793,12 +805,14 @@ def cheb_sweep_rr_impl(qs, gs, mask, parks, betas, alpha, Xff):
     return theta, Xr, res
 
 
-cheb_sweep_rr = jax.jit(cheb_sweep_rr_impl)
+cheb_sweep_rr = partial(jax.jit, static_argnames=("layout",))(
+    cheb_sweep_rr_impl)
 
 
 def cheb_rr_pass_sweep_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
                             alpha, X, cuts, bounds, degree: int = 300,
-                            binv_degree: int = 4, renorm_every: int = 8):
+                            binv_degree: int = 4, renorm_every: int = 8,
+                            layout: str = "packed"):
     """Packed sweep filter + per-design Rayleigh-Ritz (one dispatch).
 
     X: (3D, B, k); parks/betas/cuts/bounds: (B,). The Chebyshev
@@ -811,15 +825,17 @@ def cheb_rr_pass_sweep_impl(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
     D = CD // 3
     apply_t = _sweep_apply_t(qs, gs, mask, dinv_sqrt, lo, hi, parks,
                              betas, alpha, cuts, bounds, D, B, k,
-                             binv_degree)
+                             binv_degree, layout)
     T0 = _fused_from_stacked(X.astype(jnp.float32))
     T1 = apply_t(T0)
     _, Xff = _sweep_iterate(apply_t, T0, T1, degree - 1, renorm_every)
-    return cheb_sweep_rr_impl(qs, gs, mask, parks, betas, alpha, Xff)
+    return cheb_sweep_rr_impl(qs, gs, mask, parks, betas, alpha, Xff,
+                              layout)
 
 
 cheb_rr_pass_sweep = partial(jax.jit, static_argnames=(
-    "degree", "binv_degree", "renorm_every"))(cheb_rr_pass_sweep_impl)
+    "degree", "binv_degree", "renorm_every", "layout"))(
+        cheb_rr_pass_sweep_impl)
 
 # Per-step cost model for dispatch sizing (TPU, measured r2: B=8,
 # E=21504, k=22, binv=4 -> 87 ms/step): seconds/step ~ COEF * E*B*k *
@@ -844,12 +860,12 @@ _SHARDED_CACHE: dict = {}
 
 
 def _sweep_sharded_fns(mesh, binv_degree: int, renorm_every: int,
-                       blk: bool = False):
+                       blk: bool = False, layout: str = "packed"):
     """(chunk_fn, rr_fn) jitted shard_map wrappers for a device mesh."""
     from jax.sharding import PartitionSpec as P
 
     key = (tuple(d.id for d in mesh.devices.flat), binv_degree,
-           renorm_every, blk)
+           renorm_every, blk, layout)
     hit = _SHARDED_CACHE.get(key)
     if hit is not None:
         return hit
@@ -867,7 +883,7 @@ def _sweep_sharded_fns(mesh, binv_degree: int, renorm_every: int,
         return cheb_sweep_chunk_impl(
             qs, gs, mask, dinv_sqrt, lo, hi, parks, betas, alpha, T0, T1,
             cuts, bounds, steps, first, binv_degree=binv_degree,
-            renorm_every=renorm_every)
+            renorm_every=renorm_every, layout=layout)
 
     chunk_fn = jax.jit(jax.shard_map(
         chunk_local, mesh=mesh,
@@ -876,7 +892,8 @@ def _sweep_sharded_fns(mesh, binv_degree: int, renorm_every: int,
         out_specs=(t_spec, t_spec)))
 
     def rr_local(qs, gs, mask, parks, betas, alpha, Xff):
-        return cheb_sweep_rr_impl(qs, gs, mask, parks, betas, alpha, Xff)
+        return cheb_sweep_rr_impl(qs, gs, mask, parks, betas, alpha, Xff,
+                                  layout)
 
     rr_fn = jax.jit(jax.shard_map(
         rr_local, mesh=mesh,
@@ -892,7 +909,7 @@ def _sweep_sharded_fns(mesh, binv_degree: int, renorm_every: int,
 def cheb_rr_pass_sweep_auto(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
                             alpha, X, cuts, bounds, degree: int = 300,
                             binv_degree: int = 4, renorm_every: int = 8,
-                            mesh=None):
+                            mesh=None, layout: str = "packed"):
     """Pass driver that splits long recurrences into bounded dispatches.
 
     Always routes through the chunk + RR executables (never the fused
@@ -922,11 +939,12 @@ def cheb_rr_pass_sweep_auto(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
     if n_dev > 1:
         chunk_fn, rr_fn = _sweep_sharded_fns(mesh, binv_degree,
                                              renorm_every,
-                                             blk=isinstance(gs, BlkTables))
+                                             blk=isinstance(gs, BlkTables),
+                                             layout=layout)
     else:
         chunk_fn = partial(cheb_sweep_chunk, binv_degree=binv_degree,
-                           renorm_every=renorm_every)
-        rr_fn = cheb_sweep_rr
+                           renorm_every=renorm_every, layout=layout)
+        rr_fn = partial(cheb_sweep_rr, layout=layout)
     T0 = _fused_from_stacked(X.astype(jnp.float32))
     T1 = T0
     done, first = 0, True
@@ -944,7 +962,8 @@ def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
                        alpha, bounds, degree: int = 300, passes: int = 2,
                        tol: float = 1e-7, max_passes: int = 8,
                        parks=None, binv_degree: int = 4,
-                       n_wanted: int = 0, mesh=None, blk=None):
+                       n_wanted: int = 0, mesh=None, blk=None,
+                       layout: str = "packed"):
     """Adaptive driver for the packed same-grid sweep.
 
     ``mesh``: optional 'designs' device mesh — the sweep's design axis
@@ -988,7 +1007,7 @@ def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
         theta, Xr, res = cheb_rr_pass_sweep_auto(
             qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
             jnp.float32(alpha), X, cuts, bounds, degree=degree,
-            binv_degree=binv_degree, mesh=mesh)
+            binv_degree=binv_degree, mesh=mesh, layout=layout)
         X = Xr
         if ip + 1 >= passes:
             th = np.asarray(theta)

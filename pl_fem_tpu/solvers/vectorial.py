@@ -154,6 +154,29 @@ def _seed_from_coarse(Hc16, colmask, Pcols, Pwts, key):
     return X / (jnp.linalg.norm(X, axis=0, keepdims=True) + 1e-30)
 
 
+def _resolve_apply_layout(scfg) -> str:
+    """SolverConfig.apply_layout, env PL_FEM_APPLY_LAYOUT fallback.
+
+    Resolved ONCE per solve call (eager, never under trace) and passed
+    to the kernels as a static jit argument — the executable cache
+    keys on the resolved value."""
+    v = scfg.apply_layout or os.environ.get("PL_FEM_APPLY_LAYOUT") \
+        or "packed"
+    if v not in ("packed", "flat"):
+        raise ValueError(f"apply_layout must be 'packed' or 'flat', "
+                         f"got {v!r}")
+    return v
+
+
+def _resolve_accumulate(scfg) -> str:
+    """SolverConfig.accumulate, env PL_FEM_ACC fallback."""
+    v = scfg.accumulate or os.environ.get("PL_FEM_ACC") or "gather"
+    if v not in ("gather", "blk"):
+        raise ValueError(f"accumulate must be 'gather' or 'blk', "
+                         f"got {v!r}")
+    return v
+
+
 def _as_device_grid(grid, config: SimulationConfig) -> DeviceGrid:
     if isinstance(grid, DeviceGrid):
         return grid
@@ -509,7 +532,7 @@ class TrueVectorialMaxwellSolver:
             qs = QFactorSweep(invJT=qf_g.invJT, w=qf_g.w,
                               inv_eps=jnp.stack(invs), gp=ga.grad_phys)
             filt_mask, filt_diag, blk_plan = ga.interior_mask, diag, None
-            if os.environ.get("PL_FEM_ACC", "") == "blk":
+            if _resolve_accumulate(scfg) == "blk":
                 # MXU block accumulate: slot-expanded element arrays +
                 # block-ordered dof axis inside the filter only (the
                 # subspace converts at the solve_lowest_sweep boundary)
@@ -687,7 +710,8 @@ class TrueVectorialMaxwellSolver:
                     degree=scfg.cheb_degree,
                     passes=cheb_passes_eff, tol=scfg.scalar_tol,
                     parks=parks[sel], n_wanted=n_gate, max_passes=mp,
-                    binv_degree=binv_eff, mesh=mesh, blk=blk_plan)
+                    binv_degree=binv_eff, mesh=mesh, blk=blk_plan,
+                    layout=_resolve_apply_layout(scfg))
                 # start the device->host DMA of every active design's
                 # subspace slab up front: the axon tunnel moves the
                 # full (3Dp, B, k) f32 block at only ~17 MB/s (measured

@@ -149,12 +149,47 @@ def test_sweep_solve_blk_sharded(sweep_setup, monkeypatch):
             assert a["n_eff"] == pytest.approx(b["n_eff"], rel=2e-5)
 
 
-def test_layout_env_dispatch(sweep_setup, monkeypatch):
+def test_layout_static_dispatch(sweep_setup):
+    """_sweep_apply_A dispatches on its EXPLICIT layout argument (a
+    static jit arg threaded from SolverConfig.apply_layout) — never on
+    the environment, which the jit cache cannot key on."""
     qs, gs, mask, parks, betas, Xf = sweep_setup
     alpha = jnp.float32(1.0)
-    monkeypatch.setenv("PL_FEM_APPLY_LAYOUT", "flat")
-    y1 = kernels._sweep_apply_A(qs, gs, mask, parks, betas, alpha, Xf)
-    monkeypatch.delenv("PL_FEM_APPLY_LAYOUT")
+    y1 = kernels._sweep_apply_A(qs, gs, mask, parks, betas, alpha, Xf,
+                                "flat")
     y0 = kernels._sweep_apply_A(qs, gs, mask, parks, betas, alpha, Xf)
     scale = float(jnp.abs(y0).max())
     assert float(jnp.abs(y0 - y1).max()) / scale < 2e-6
+    with pytest.raises(ValueError, match="unknown apply layout"):
+        kernels._sweep_apply_A(qs, gs, mask, parks, betas, alpha, Xf,
+                               "bogus")
+
+
+def test_kernel_knob_resolution(monkeypatch):
+    """Config fields win over env vars; env fills None; bad values
+    raise (the knobs bypass neither SolverConfig nor validation)."""
+    from pl_fem_tpu.config import SolverConfig
+    from pl_fem_tpu.solvers.vectorial import (_resolve_accumulate,
+                                              _resolve_apply_layout)
+
+    monkeypatch.delenv("PL_FEM_APPLY_LAYOUT", raising=False)
+    monkeypatch.delenv("PL_FEM_ACC", raising=False)
+    assert _resolve_apply_layout(SolverConfig()) == "packed"
+    assert _resolve_accumulate(SolverConfig()) == "gather"
+    assert _resolve_apply_layout(SolverConfig(apply_layout="flat")) \
+        == "flat"
+    assert _resolve_accumulate(SolverConfig(accumulate="blk")) == "blk"
+    monkeypatch.setenv("PL_FEM_APPLY_LAYOUT", "flat")
+    monkeypatch.setenv("PL_FEM_ACC", "blk")
+    assert _resolve_apply_layout(SolverConfig()) == "flat"
+    assert _resolve_accumulate(SolverConfig()) == "blk"
+    # explicit config beats env
+    assert _resolve_apply_layout(SolverConfig(apply_layout="packed")) \
+        == "packed"
+    assert _resolve_accumulate(SolverConfig(accumulate="gather")) \
+        == "gather"
+    monkeypatch.setenv("PL_FEM_APPLY_LAYOUT", "nope")
+    with pytest.raises(ValueError, match="apply_layout"):
+        _resolve_apply_layout(SolverConfig())
+    with pytest.raises(ValueError, match="accumulate"):
+        _resolve_accumulate(SolverConfig(accumulate="nope"))
