@@ -958,6 +958,23 @@ def cheb_rr_pass_sweep_auto(qs, gs, mask, dinv_sqrt, lo, hi, parks, betas,
     return rr_fn(qs, gs, mask, parks, betas, alpha, T1)
 
 
+@partial(jax.jit, static_argnames=("n_wanted",))
+def _sweep_gate_maxres(theta, res, cuts, n_wanted: int = 0):
+    """Device-side convergence statistic for the sweep pass gate.
+
+    Reduces (B, k) theta/res to ONE scalar on device (worst residual
+    among the wanted sub-cut modes; the min residual if nothing is
+    wanted yet). The old host-side gate pulled both full (B, k) arrays
+    through the axon tunnel once per pass; under a 'designs' mesh the
+    inputs are design-sharded and XLA inserts the reduce collective —
+    the host reads a single replicated scalar either way."""
+    wanted = theta < cuts[:, None]
+    if n_wanted > 0:
+        wanted &= jnp.arange(theta.shape[1])[None, :] < n_wanted
+    maxres = jnp.where(wanted, res, -jnp.inf).max()
+    return jnp.where(wanted.any(), maxres, res.min())
+
+
 def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
                        alpha, bounds, degree: int = 300, passes: int = 2,
                        tol: float = 1e-7, max_passes: int = 8,
@@ -1010,12 +1027,8 @@ def solve_lowest_sweep(qs: QFactorSweep, gs, mask, diag_B, X0, cuts, betas,
             binv_degree=binv_degree, mesh=mesh, layout=layout)
         X = Xr
         if ip + 1 >= passes:
-            th = np.asarray(theta)
-            rs = np.asarray(res)
-            wanted = th < np.asarray(cuts)[:, None]
-            if n_wanted > 0:
-                wanted &= (np.arange(th.shape[1])[None] < n_wanted)
-            maxres = rs[wanted].max() if wanted.any() else rs.min()
+            maxres = float(_sweep_gate_maxres(theta, res, cuts,
+                                              n_wanted=n_wanted))
             _log.debug("sweep pass %d (deg %d, binv %d): %.2fs "
                        "maxres=%.2e", ip, degree, binv_degree,
                        time.perf_counter() - t0, maxres)
@@ -1221,24 +1234,6 @@ def cheb_rr_pass_impl(Abig, Bblk, gs, mask, dinv_sqrt, lo, hi, park,
 
 cheb_rr_pass = partial(jax.jit, static_argnames=(
     "C", "degree", "binv_degree", "renorm_every"))(cheb_rr_pass_impl)
-
-# Design-batched variant: vmap over a leading axis of every per-design
-# array (different meshes in the SAME bucket share shapes, so one
-# executable serves the whole batch). This is the unit the shard_map
-# dataset engine distributes over the device mesh.
-_BATCH_AXES = (0, 0, 0, 0, 0, None, None, 0, 0, 0, 0)
-
-
-@partial(jax.jit, static_argnames=("C", "degree", "binv_degree",
-                                   "renorm_every"))
-def cheb_rr_pass_batched(Abig, Bblk, gs, mask, dinv_sqrt, lo, hi,
-                         park, X, cut, bound, C: int = 1, degree: int = 300,
-                         binv_degree: int = 8, renorm_every: int = 8):
-    fn = partial(cheb_rr_pass_impl, C=C, degree=degree,
-                 binv_degree=binv_degree, renorm_every=renorm_every)
-    return jax.vmap(fn, in_axes=_BATCH_AXES)(
-        Abig, Bblk, gs, mask, dinv_sqrt, lo, hi, park, X, cut, bound)
-
 
 def solve_lowest_kernel(Abig, Bblk, gs, mask, diag_B, X0, cut,
                         elem_valid, C: int = 1, degree: int = 300,

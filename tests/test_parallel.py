@@ -1,18 +1,19 @@
-"""Multi-device design-parallel engine tests on the virtual 8-CPU mesh."""
+"""Multi-device design-parallel tests on the virtual 8-CPU mesh.
+
+There is ONE parallel implementation — the production QFactorSweep
+sweep kernels sharded via shard_map (solve_sweep(mesh=...)) — so these
+tests exercise exactly the code the dataset engine ships (the former
+stacked-blocks batched_solve engine was removed; round-3 verdict)."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pl_fem_tpu.config import MeshConfig, SimulationConfig
 from pl_fem_tpu.models import MCFGeometry
 from pl_fem_tpu.ops.femgrid import MeshGenerator, export_device_grid
-from pl_fem_tpu.parallel import (
-    assemble_design_batch,
-    batched_solve,
-    design_mesh,
-    shard_batch,
-    sharded_residual_stats,
-)
+from pl_fem_tpu.parallel import design_mesh
 
 
 @pytest.fixture(scope="module")
@@ -30,36 +31,33 @@ def test_eight_device_mesh_available():
     assert len(jax.devices()) >= 8
 
 
-def test_batched_solve_unsharded_matches_physics(small_designs):
-    geoms, dgs = small_designs
-    batch = assemble_design_batch(geoms[:2], dgs[:2], vectorial=True)
-    theta, X, res = batched_solve(batch, k=4, degree=40, passes=3)
-    th = np.asarray(theta)
-    assert th.shape == (2, 4)
-    # each design's lowest eigenvalue sits below the radiation cut
-    cut = np.asarray(batch.cut)
-    assert (th[:, 0] < cut).all()
-    assert np.isfinite(np.asarray(res)).all()
+def test_gate_maxres_device_side_sharded():
+    """The sweep convergence gate reduces on device — including over a
+    design-sharded (B, k) layout, where XLA inserts the collective —
+    and matches the host-side computation."""
+    from pl_fem_tpu.ops.kernels import _sweep_gate_maxres
 
-
-def test_sharded_solve_matches_single_device(small_designs):
-    geoms, dgs = small_designs
-    batch = assemble_design_batch(geoms, dgs, vectorial=True)
-    theta_ref, _, _ = batched_solve(batch, k=4, degree=40, passes=2)
-
-    mesh = design_mesh(jax.devices()[:8])
-    sharded = shard_batch(batch, mesh)
-    theta_sh, X_sh, res_sh = batched_solve(sharded, k=4, degree=40, passes=2)
-    # deterministic inputs -> sharded result equals single-device result
-    np.testing.assert_allclose(np.asarray(theta_sh), np.asarray(theta_ref),
-                               rtol=1e-4, atol=1e-5)
-    # outputs actually live on the design-sharded layout
-    assert len(theta_sh.sharding.device_set) == 8
-
-    maxres, count = sharded_residual_stats(res_sh, theta_sh, sharded.cut,
-                                           mesh)
-    assert np.isfinite(float(maxres))
-    assert float(count) > 0
+    rng = np.random.default_rng(7)
+    B, k = 8, 6
+    theta = rng.uniform(0.0, 2.0, (B, k)).astype(np.float32)
+    res = rng.uniform(1e-6, 1e-2, (B, k)).astype(np.float32)
+    cuts = rng.uniform(0.5, 1.5, B).astype(np.float32)
+    for n_wanted in (0, 3):
+        wanted = theta < cuts[:, None]
+        if n_wanted:
+            wanted &= np.arange(k)[None, :] < n_wanted
+        expect = res[wanted].max() if wanted.any() else res.min()
+        got = float(_sweep_gate_maxres(jnp.asarray(theta), jnp.asarray(res),
+                                       jnp.asarray(cuts), n_wanted=n_wanted))
+        assert got == pytest.approx(expect, rel=1e-6)
+        # design-sharded inputs reduce to the same replicated scalar
+        mesh = design_mesh(jax.devices()[:8])
+        sh = NamedSharding(mesh, P("designs"))
+        got_sh = float(_sweep_gate_maxres(
+            jax.device_put(jnp.asarray(theta), sh),
+            jax.device_put(jnp.asarray(res), sh),
+            jax.device_put(jnp.asarray(cuts), sh), n_wanted=n_wanted))
+        assert got_sh == pytest.approx(expect, rel=1e-6)
 
 
 def test_sharded_sweep_matches_single_device(small_designs):
