@@ -74,6 +74,16 @@ class SolverConfig:
     # MXU 0/1-selector matmul, ops/blockplan.py). None = env
     # PL_FEM_ACC or 'gather'.
     accumulate: Optional[str] = None
+    # diagnostic mode (round-4, VERDICT A2 gap): validate geometry
+    # inputs for finiteness before the sweep and finite-check each
+    # design's filter subspace per round. A diverged/NaN design is
+    # DIAGNOSED (solve_sweep.last_sweep_diagnostics; the dataset engine
+    # turns it into a skip-and-record error_msg) instead of emitting a
+    # garbage beta, and healthy sweep members keep solving. Explicit
+    # checks rather than jax_debug_nans: padded lanes and parked junk
+    # modes legitimately hold non-physical values inside the filter, so
+    # the global NaN trap would false-positive on every sweep.
+    debug_checks: bool = False
     # device->host subspace-slab dtype. None = AUTO: f16 in fast mode
     # (beta_passes == 1; the host polish's Ritz roots are second-order
     # in a basis perturbation, so the ~1e-3 quantization costs ~1e-6
@@ -99,6 +109,12 @@ class MeshConfig:
     # per-quadrature-point Jacobian — cuts the interface term of the
     # n_eff discretization error (dominant at high index contrast)
     curved_interfaces: bool = True
+    # mesh-quality gate (reference seam: mesh.py:527-569). 'warn'
+    # analyzes every generated mesh, logs failures and records the
+    # verdict on the grid (FEMGrid.quality_ok/_msg -> DatasetRecord);
+    # 'strict' raises so the dataset engine skip-and-records the
+    # design; 'off' skips the analyzer entirely.
+    quality_gate: str = "warn"
 
 
 @dataclasses.dataclass(frozen=True)

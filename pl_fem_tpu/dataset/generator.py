@@ -229,6 +229,36 @@ class DatasetGenerator:
         rec.success = (rec.success_geometry and rec.success_physics
                        and rec.success_solver and rec.success_losses)
 
+    def _provenance(self, rec: DatasetRecord, grid, bucketed: bool):
+        """Stamp solver-mode/accuracy-class/mesh-quality provenance.
+
+        Round-4 honesty fields (docs/PARITY_r3.md §A): bucketed sweeps
+        carry a non-conforming-member accuracy floor that per-design
+        solves do not; a dataset consumer must be able to tell which
+        class produced each record.
+        """
+        s = self.config.solver
+        if not self.use_vectorial:
+            rec.solver_mode = "scalar_cascade"
+            rec.accuracy_class = "scalar LP approximation"
+        elif s.backend == "hybrid":
+            rec.solver_mode = "hybrid_arpack"
+            rec.accuracy_class = ("reference transverse pencil "
+                                  "(~6e-4 model error at air-clad)")
+        else:
+            rec.solver_mode = "bucketed_sweep" if bucketed else "per_design"
+            if s.beta_passes >= 2:
+                rec.accuracy_class = (
+                    "accuracy (~1e-4 bucket floor)" if bucketed
+                    else "accuracy (~2e-6 n_eff)")
+            else:
+                rec.accuracy_class = "fast (~8e-4 n_eff)"
+        if grid is not None and grid.quality is not None:
+            rec.mesh_quality_ok = bool(grid.quality_ok)
+            rec.mesh_quality_msg = grid.quality_msg
+            if not grid.quality_ok:
+                rec.warnings.append(f"mesh quality: {grid.quality_msg}")
+
     def simulate_sample(self, sample: Dict) -> DatasetRecord:
         """Full pipeline for one design; never raises (skip-and-record)."""
         from ..utils import PhaseTimer
@@ -249,6 +279,7 @@ class DatasetGenerator:
             rec.mesh_points = grid.n_points
             rec.mesh_elements = grid.n_elems
             rec.n_dofs = grid.n_dofs
+            self._provenance(rec, grid, bucketed=False)
             dg = export_device_grid(grid, self.config.mesh.bucket_rounding)
 
             n_target = self._n_modes_target(geom)
@@ -257,6 +288,15 @@ class DatasetGenerator:
                     solver = TrueVectorialMaxwellSolver(geom,
                                                         config=self.config)
                     modes = solver.solve_vectorial_modes(dg, n_target)
+                    # the tpu backend routes through solve_sweep, which
+                    # resets the diagnostics hook per call; hybrid never
+                    # touches it, so only consult it on the tpu path
+                    diag = TrueVectorialMaxwellSolver \
+                        .last_sweep_diagnostics.get(0) \
+                        if self.config.solver.backend == "tpu" else None
+                    if diag is not None:
+                        rec.error_msg = f"solver diagnostic: {diag}"
+                        return rec
                 else:
                     # scalar CLI path uses the reference's guided-mode
                     # cascade (main.py:258-288)
@@ -348,12 +388,21 @@ class DatasetGenerator:
                     on_batch([recs[i] for (i, _, _, _) in members])
                 continue
             per_member = (time.time() - t_bucket) / max(len(members), 1)
-            for (i, sample, geom, pm), (_, s), modes in zip(members, pairs,
-                                                            sweep):
+            sweep_diags = dict(
+                TrueVectorialMaxwellSolver.last_sweep_diagnostics)
+            for j, ((i, sample, geom, pm), (_, s), modes) in enumerate(
+                    zip(members, pairs, sweep)):
                 rec = recs[i]
+                if j in sweep_diags:
+                    # debug_checks diagnosed this design (NaN inputs or
+                    # a diverged filter): skip-and-record, not garbage
+                    rec.error_msg = f"solver diagnostic: {sweep_diags[j]}"
+                    rec.solver_time_s = per_member
+                    continue
                 rec.mesh_points = grid.n_points
                 rec.mesh_elements = grid.n_elems
                 rec.n_dofs = grid.n_dofs
+                self._provenance(rec, grid, bucketed=True)
                 timer = PhaseTimer()
                 try:
                     modes = rescale_modes(modes, s, geom.k0)

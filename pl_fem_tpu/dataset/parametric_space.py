@@ -114,6 +114,11 @@ class PhysicalValidator:
         k0 = 2.0 * np.pi / wl_um
         r = float(sample["core_radius_um"])
         NA2 = n_core**2 - n_clad**2
+        if not np.isfinite([n_core, n_clad, wl_um, r]).all():
+            # reject non-finite inputs explicitly: NaN fails every
+            # comparison below, so without this a NaN design would
+            # crash on int(NaN) instead of skip-and-record
+            return False, "non-finite sample parameters", {}
         if NA2 <= 0:
             return False, "n_core <= n_clad", {}
         NA = float(np.sqrt(NA2))

@@ -123,6 +123,13 @@ class DatasetRecord:
     mesh_elements: int = 0
     n_dofs: int = 0
 
+    # solver/accuracy provenance (round-4: bucket-floor records must be
+    # distinguishable from per-design solves, docs/PARITY_r3.md §A)
+    solver_mode: str = ""          # 'per_design' | 'bucketed_sweep' | ...
+    accuracy_class: str = ""       # expected relative n_eff error class
+    mesh_quality_ok: bool = True   # MeshQualityAnalyzer gate verdict
+    mesh_quality_msg: str = ""
+
     coupling_uniformity: Optional[float] = None
     coupling_degradation: Optional[float] = None
     crosstalk_penalty: Optional[float] = None

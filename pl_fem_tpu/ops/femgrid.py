@@ -305,6 +305,11 @@ class FEMGrid:
     dof_coords: np.ndarray       # (D, 2)
     boundary_dofs: np.ndarray    # (Bd,) int64
     interior_mask: np.ndarray    # (D,) bool
+    # quality provenance, populated by MeshGenerator._generate (gate
+    # per MeshConfig.quality_gate; reference seam mesh.py:527-569)
+    quality: Optional[Dict] = None
+    quality_ok: bool = True
+    quality_msg: str = ""
 
     @property
     def n_dofs(self) -> int:
@@ -688,6 +693,19 @@ class MeshGenerator:
         grid = build_p2_grid(mesh, circles=circles)
         logger.info("mesh: %d pts, %d tris, %d P2 DOFs",
                     mesh.n_points, mesh.n_tris, grid.n_dofs)
+        if mc.quality_gate != "off":
+            # reference seam: mesh.py:527-569 validates every generated
+            # mesh; 'warn' records the verdict on the grid (the dataset
+            # engine copies it into the record), 'strict' refuses the
+            # mesh so the caller skip-and-records the design
+            from .mesh_quality import MeshQualityAnalyzer
+            grid.quality = MeshQualityAnalyzer.analyze(mesh)
+            ok, msg = MeshQualityAnalyzer.validate_mesh_quality(mesh)
+            grid.quality_ok, grid.quality_msg = ok, msg
+            if not ok:
+                logger.warning("mesh quality gate: %s", msg)
+                if mc.quality_gate == "strict":
+                    raise RuntimeError(f"mesh quality gate failed: {msg}")
         return grid
 
     # -- cache management ----------------------------------------------------
@@ -706,7 +724,7 @@ class MeshGenerator:
             # returned a coarse mesh for a finer request)
             h.update(f"{mc.mesh_min_points}:{mc.mesh_target_points}:"
                      f"{mc.semi_refine}:{mc.min_edge_factor:.4f}:"
-                     f"{mc.curved_interfaces}".encode())
+                     f"{mc.curved_interfaces}:{mc.quality_gate}".encode())
         return h.hexdigest()[:24]
 
     @classmethod

@@ -193,6 +193,9 @@ class TrueVectorialMaxwellSolver:
     #: (bootstrap / assemble / bounds / host_family / filter / polish /
     #: postproc) — profiling hook, populated per call.
     last_sweep_times: Dict[str, float] = {}
+    # debug_checks: per-design diagnosis of the LAST solve_sweep call
+    # (design index -> message); empty when every design solved clean
+    last_sweep_diagnostics: Dict[int, str] = {}
 
     def __init__(self, geometry, use_pml: bool = False,
                  config: Optional[SimulationConfig] = None):
@@ -470,6 +473,41 @@ class TrueVectorialMaxwellSolver:
         n = dg.n_dofs
         Dp = dg.n_dofs_padded
 
+        # diagnostic mode (config.debug_checks): screen non-finite
+        # geometry inputs up front. A NaN design packed into the sweep
+        # poisons the shared device convergence gate (max over designs),
+        # so bad designs are excluded here, diagnosed in
+        # ``last_sweep_diagnostics``, and the healthy subset solves.
+        diags: Dict[int, str] = {}
+        cls.last_sweep_diagnostics = diags
+        if scfg.debug_checks:
+            for bix, g in enumerate(geometries):
+                ep = g.eps_params()
+                bad = [f.name for f in dataclasses.fields(ep)
+                       if not np.all(np.isfinite(np.asarray(
+                           getattr(ep, f.name), dtype=np.float64)))]
+                if not np.isfinite(g.k0):
+                    bad.append("k0")
+                if bad:
+                    diags[bix] = ("non-finite geometry inputs: "
+                                  + ", ".join(bad))
+            if diags:
+                logger.warning("debug_checks: %d/%d designs have "
+                               "non-finite inputs: %s", len(diags), B,
+                               diags)
+                good = [i for i in range(B) if i not in diags]
+                results = [[] for _ in range(B)]
+                if good:
+                    sub = cls.solve_sweep([geometries[i] for i in good],
+                                          dg, n_modes_target, cfg,
+                                          _raw_modes=_raw_modes, mesh=mesh)
+                    for j, i in enumerate(good):
+                        results[i] = sub[j]
+                        if j in cls.last_sweep_diagnostics:
+                            diags[i] = cls.last_sweep_diagnostics[j]
+                cls.last_sweep_diagnostics = diags
+                return results
+
         n_dev = 1
         if mesh is not None and getattr(mesh, "size", 1) > 1:
             if B < mesh.size:
@@ -487,6 +525,9 @@ class TrueVectorialMaxwellSolver:
                 out = cls.solve_sweep(
                     list(geometries) + [geometries[-1]] * pad, dg,
                     n_modes_target, cfg, _raw_modes=_raw_modes, mesh=mesh)
+                cls.last_sweep_diagnostics = {
+                    i: m for i, m in cls.last_sweep_diagnostics.items()
+                    if i < B}
                 return out[:B]
         else:
             mesh = None
@@ -512,6 +553,9 @@ class TrueVectorialMaxwellSolver:
                                            n_modes_target, cfg,
                                            _raw_modes=_raw_modes,
                                            mesh=mesh))
+                for j, m in cls.last_sweep_diagnostics.items():
+                    diags[s + j] = m
+            cls.last_sweep_diagnostics = diags
             return out
 
         # two-grid bootstrap: coarse solve -> X0 + per-design beta0
@@ -738,6 +782,18 @@ class TrueVectorialMaxwellSolver:
                 g = geometries[bix]
                 with timer.phase("xfer"):
                     Xh = np.asarray(slabs[j], dtype=np.float64)
+                if scfg.debug_checks and not np.isfinite(Xh).all():
+                    # diagnosed, not a garbage beta: the design leaves
+                    # the sweep with an empty mode list and a message
+                    # the dataset engine records (skip-and-record)
+                    diags[bix] = (f"non-finite filter subspace at round "
+                                  f"{ip} (filter diverged or NaN inputs "
+                                  f"reached assembly)")
+                    logger.warning("debug_checks: design %d: %s", bix,
+                                   diags[bix])
+                    results[bix] = []
+                    pooled[bix] = None
+                    continue
                 Xh = np.concatenate(
                     [Xh[c * Dp:c * Dp + n] for c in range(3)],
                     axis=0) * mask3[:, None]
@@ -788,6 +844,8 @@ class TrueVectorialMaxwellSolver:
             # seeded), with a per-design stall detector.
             still = []
             for bix in active:
+                if bix in diags:
+                    continue
                 q_b = qnow.get(bix, np.inf)
                 beta_stable = abs(beta_new[bix] - betas[bix]) <= 1e-6
                 converged = beta_stable and q_b <= scfg.polish_qres_tol
@@ -810,9 +868,10 @@ class TrueVectorialMaxwellSolver:
             sel = _pad_active(active)
             cols = np.asarray([col_of[bix] for bix in sel])
             Xact = Xr[:, cols, :]
-        # the bootstrap's nested solve_sweep re-binds the hook; restore
+        # the bootstrap's nested solve_sweep re-binds the hooks; restore
         # this (outermost) call's breakdown before returning
         cls.last_sweep_times = timer.times
+        cls.last_sweep_diagnostics = diags
         logger.debug("sweep B=%d n=%d: %s", B, n, timer.summary())
         return results
 
