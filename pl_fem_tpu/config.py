@@ -103,6 +103,12 @@ class MeshConfig:
     max_refinement_iterations: int = 5
     semi_refine: bool = True          # 50% partial refine step (mesh.py:330-332)
     bucket_rounding: int = 4096       # pad element/DOF counts to multiples
+    # width of one radius/pitch bucket class (dataset/bucketing.py):
+    # 0.05 = accuracy-safe (~1e-4 bucket n_eff floor); 0.20 collapses a
+    # 220-sample LHS from 146 to 71 buckets (better sweep amortization)
+    # while member interfaces stay inside the class mesh's refinement
+    # ring — accuracy_class on each record documents the tradeoff
+    bucket_ratio_band: float = 0.05
     min_edge_factor: float = 0.0      # optional floor on local edge length
     # isoparametric curved interface elements: P2 edge midpoints on
     # material circles sit on the ARC and the element map carries a

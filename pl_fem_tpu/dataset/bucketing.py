@@ -43,7 +43,15 @@ from ..models import MCFGeometry
 P_CANONICAL = 8.0
 R_CANONICAL = 1.5
 
-#: relative width of one radius-to-pitch class (geometric binning)
+#: relative width of one radius-to-pitch class (geometric binning).
+#: Wider bands collapse more designs per bucket (220-sample LHS: 146
+#: buckets at 0.05, 71 at 0.20, 46 at 0.40 — layout diversity is the
+#: residual) at the cost of a higher bucket accuracy floor: members sit
+#: up to band/2 away from the class mesh's interface-refinement ring
+#: ([0.90 r, 1.30 r], ops/femgrid.py), so +-10% (band 0.20) still keeps
+#: every member interface inside the refined band. Configure per run
+#: via MeshConfig.bucket_ratio_band; 0.05 stays the accuracy-safe
+#: default (~1e-4 floor, docs/PARITY_r3.md §A).
 RATIO_BAND = 0.05
 
 
@@ -68,20 +76,20 @@ def _ratio(geom: MCFGeometry) -> float:
     return 1.0
 
 
-def _ratio_class(ratio: float) -> int:
+def _ratio_class(ratio: float, band: float = RATIO_BAND) -> int:
     return int(round(math.log(max(ratio, 1e-9))
-                     / math.log1p(RATIO_BAND)))
+                     / math.log1p(band)))
 
 
-def _class_ratio(cls: int) -> float:
-    return float(math.exp(cls * math.log1p(RATIO_BAND)))
+def _class_ratio(cls: int, band: float = RATIO_BAND) -> float:
+    return float(math.exp(cls * math.log1p(band)))
 
 
-def bucket_key(geom: MCFGeometry) -> BucketKey:
+def bucket_key(geom: MCFGeometry, band: float = RATIO_BAND) -> BucketKey:
     return BucketKey(
         n_cores=geom.n_cores,
         variant=geom.variant,
-        ratio_class=_ratio_class(_ratio(geom)),
+        ratio_class=_ratio_class(_ratio(geom), band),
         n_clad_mil=int(round(geom.n_clad * 1000)),
     )
 
@@ -93,10 +101,11 @@ def canonical_scale(geom: MCFGeometry) -> float:
     return R_CANONICAL / geom.r_core
 
 
-def class_geometry(key: BucketKey, example: MCFGeometry) -> MCFGeometry:
+def class_geometry(key: BucketKey, example: MCFGeometry,
+                   band: float = RATIO_BAND) -> MCFGeometry:
     """Class-center representative used to build the bucket's mesh."""
     if key.n_cores > 1:
-        r_can = _class_ratio(key.ratio_class) * P_CANONICAL
+        r_can = _class_ratio(key.ratio_class, band) * P_CANONICAL
         pitch = P_CANONICAL
     else:
         r_can = R_CANONICAL
@@ -160,10 +169,11 @@ def rescale_modes(modes: List[Dict], s: float, k0_phys: float) -> List[Dict]:
     return modes
 
 
-def group_by_bucket(geometries: Sequence[MCFGeometry]
+def group_by_bucket(geometries: Sequence[MCFGeometry],
+                    band: float = RATIO_BAND
                     ) -> Dict[Hashable, List[int]]:
     """Indices of ``geometries`` grouped by bucket key (stable order)."""
     groups: Dict[Hashable, List[int]] = {}
     for i, g in enumerate(geometries):
-        groups.setdefault(bucket_key(g), []).append(i)
+        groups.setdefault(bucket_key(g, band), []).append(i)
     return groups

@@ -358,7 +358,8 @@ class DatasetGenerator:
             if failed:
                 on_batch(failed)
 
-        groups = group_by_bucket([p[2] for p in prepared])
+        band = self.config.mesh.bucket_ratio_band
+        groups = group_by_bucket([p[2] for p in prepared], band)
         dev_mesh = self._device_mesh()
         logger.info("bucketed run: %d samples -> %d buckets (%s)",
                     len(prepared), len(groups),
@@ -368,7 +369,7 @@ class DatasetGenerator:
             members = [prepared[j] for j in rows]
             t_bucket = time.time()
             try:
-                cls_geom = class_geometry(key, members[0][2])
+                cls_geom = class_geometry(key, members[0][2], band)
                 grid = MeshGenerator.generate(
                     cls_geom, self.config.mesh.refinement, self.config)
                 dg = export_device_grid(grid,
@@ -457,7 +458,8 @@ class DatasetGenerator:
         modes_list = []
         delta_eps_mass = None
         if self.use_vectorial:
-            cls_geom = class_geometry(bucket_key(geom), geom)
+            band = self.config.mesh.bucket_ratio_band
+            cls_geom = class_geometry(bucket_key(geom, band), geom, band)
             grid_t = MeshGenerator.generate(
                 cls_geom, self.config.mesh.refinement, self.config)
             dg_t = export_device_grid(grid_t,

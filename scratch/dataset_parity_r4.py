@@ -1,0 +1,89 @@
+"""Distribution-parity table for the round-4 dataset artifact.
+
+Reads a records.jsonl produced by `python -m pl_fem_tpu.cli` and compares
+the observed distributions against the reference's published ranges
+(/root/reference/README.md:240-250). Emits a markdown table to stdout.
+
+Usage:  python scratch/dataset_parity_r4.py data/r4/records.jsonl
+"""
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REF_RANGES = {
+    # field                    (ref_lo, ref_hi, note)
+    "core_radius_um":  (0.5, 3.0, "sampler bound"),
+    "pitch_um":        (3.0, 15.0, "sampler bound"),
+    "V_number":        (2.0, 12.0, "sampler bound"),
+    "IL_phys_mux_dB":  (2.135, 2.513, "reference observed"),
+    "MDL_phys_mux_dB": (0.417, 0.937, "reference observed"),
+    "PDL_mux_dB":      (0.06, 4.887, "reference observed (PDL_mean)"),
+    "n_modes_found":   (6, 39, "reference observed"),
+}
+REF_CATEGORICAL = {
+    "n_cores": [2, 3, 6, 7, 12, 19],
+    "wavelength_nm": [1490, 1550, 1590, 1610, 1650],
+}
+
+
+def main(path: str) -> None:
+    recs = [json.loads(l) for l in Path(path).read_text().splitlines() if l]
+    ok = [r for r in recs if r.get("success")]
+    print(f"records: {len(recs)} total, {len(ok)} successful "
+          f"({100.0 * len(ok) / max(len(recs), 1):.1f}%)\n")
+
+    print("| field | ours min | ours p5 | median | p95 | ours max | "
+          "reference range | overlap |")
+    print("|---|---|---|---|---|---|---|---|")
+    for field, (lo, hi, note) in REF_RANGES.items():
+        vals = np.array([r[field] for r in ok
+                         if r.get(field) is not None], dtype=float)
+        if len(vals) == 0:
+            print(f"| {field} | - | - | - | - | - | {lo}-{hi} | NO DATA |")
+            continue
+        inside = float(np.mean((vals >= lo) & (vals <= hi)))
+        print(f"| {field} | {vals.min():.3f} | "
+              f"{np.percentile(vals, 5):.3f} | "
+              f"{np.median(vals):.3f} | {np.percentile(vals, 95):.3f} | "
+              f"{vals.max():.3f} | {lo}-{hi} ({note}) | "
+              f"{100 * inside:.0f}% in-range |")
+
+    print()
+    for field, ref_vals in REF_CATEGORICAL.items():
+        seen = sorted({r[field] for r in ok if r.get(field) is not None})
+        missing = [v for v in ref_vals if v not in seen]
+        extra = [v for v in seen if v not in ref_vals]
+        print(f"- `{field}`: ours {seen}  | reference {ref_vals}"
+              f"{'  | missing: ' + str(missing) if missing else ''}"
+              f"{'  | extra: ' + str(extra) if extra else ''}")
+
+    # provenance + physical-window stats
+    modes = sorted({r.get("solver_mode", "") for r in ok})
+    accs = sorted({r.get("accuracy_class", "") for r in ok})
+    il = np.array([r["IL_phys_mux_dB"] for r in ok
+                   if r.get("IL_phys_mux_dB") is not None])
+    phys = [(0.3 <= v <= 10.0) for v in il]
+    tsolve = np.array([r.get("solver_time_s", 0.0) for r in ok])
+    print(f"\n- solver_mode values: {modes}; accuracy_class: {accs}")
+    print(f"- physical IL window [0.3, 10] dB: {sum(phys)}/{len(il)}")
+    if len(tsolve):
+        print(f"- solver_time_s: median {np.median(tsolve):.2f}, "
+              f"p95 {np.percentile(tsolve, 95):.2f}")
+    nfail = len(recs) - len(ok)
+    if nfail:
+        msgs = {}
+        for r in recs:
+            if not r.get("success"):
+                key = (r.get("error_msg") or "?")[:60]
+                msgs[key] = msgs.get(key, 0) + 1
+        print(f"- failures ({nfail}):")
+        for k, v in sorted(msgs.items(), key=lambda kv: -kv[1]):
+            print(f"    {v:3d}x {k}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "data/r4/records.jsonl")

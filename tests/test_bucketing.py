@@ -47,6 +47,32 @@ def test_bucket_keys_group_by_layout_and_ratio():
     assert sorted(len(v) for v in groups.values()) == [1, 1, 2]
 
 
+def test_ratio_band_is_configurable():
+    """MeshConfig.bucket_ratio_band coarsens the ratio classes.
+
+    A wider band merges nearby radius/pitch ratios into one bucket
+    (fewer, fatter sweeps) while keeping every member within band/2 of
+    the class-center mesh's interface-refinement ring."""
+    g1 = geom(pitch=8.0, r=1.5)
+    g3 = geom(pitch=8.0, r=1.45)     # ~3.4% ratio apart: splits at 0.05
+    assert bucket_key(g1) != bucket_key(g3)
+    assert bucket_key(g1, band=0.20) == bucket_key(g3, band=0.20)
+    groups = group_by_bucket([g1, g3], band=0.20)
+    assert sorted(len(v) for v in groups.values()) == [2]
+
+    # class-center representative stays within band/2 of every member
+    key = bucket_key(g1, band=0.20)
+    cls = class_geometry(key, g1, band=0.20)
+    for g in (g1, g3):
+        rel = abs(cls.r_core / cls.pitch_param
+                  - g.r_core / g.pitch_param) / (g.r_core / g.pitch_param)
+        assert rel <= 0.11
+
+    # the knob rides SimulationConfig -> MeshConfig
+    assert MeshConfig().bucket_ratio_band == pytest.approx(0.05)
+    assert MeshConfig(bucket_ratio_band=0.2).bucket_ratio_band == 0.2
+
+
 def test_canonicalize_preserves_ratio_and_shares_domain():
     g = geom(pitch=5.0, r=1.0, wl=1.3)
     key = bucket_key(g)
