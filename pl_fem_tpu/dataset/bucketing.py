@@ -30,12 +30,15 @@ any kind).
 from __future__ import annotations
 
 import dataclasses
+import logging
 import math
 from typing import Dict, Hashable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..models import MCFGeometry
+
+logger = logging.getLogger("pl_fem_tpu.dataset.bucketing")
 
 #: canonical pitch for multi-core buckets / canonical core radius for
 #: single-core buckets (um) — the flagship values, so flagship-size
@@ -169,10 +172,28 @@ def rescale_modes(modes: List[Dict], s: float, k0_phys: float) -> List[Dict]:
     return modes
 
 
+#: past this band width the worst-case member interface
+#: ((1+band)**-0.5 * r_class) falls below the 0.90*r inner edge of the
+#: class mesh's refinement ring — accuracy degrades beyond the
+#: documented band tradeoff
+BAND_SAFE_CEILING = 0.90 ** -2 - 1.0  # ~0.2346
+
+
+def check_band(band: float) -> None:
+    """Warn when ``band`` puts member interfaces outside the refined ring."""
+    if (1.0 + band) ** -0.5 < 0.90:
+        logger.warning(
+            "bucket_ratio_band=%.2f puts worst-case member interfaces at "
+            "%.3f*r_class, below the 0.90*r refinement-ring floor — "
+            "accuracy degrades beyond the documented tradeoff (safe "
+            "ceiling ~%.2f)", band, (1.0 + band) ** -0.5, BAND_SAFE_CEILING)
+
+
 def group_by_bucket(geometries: Sequence[MCFGeometry],
                     band: float = RATIO_BAND
                     ) -> Dict[Hashable, List[int]]:
     """Indices of ``geometries`` grouped by bucket key (stable order)."""
+    check_band(band)
     groups: Dict[Hashable, List[int]] = {}
     for i, g in enumerate(geometries):
         groups.setdefault(bucket_key(g, band), []).append(i)

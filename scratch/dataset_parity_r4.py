@@ -14,19 +14,26 @@ from pathlib import Path
 
 import numpy as np
 
+# Sampler-bound rows use the reference's RUNNABLE code bounds
+# (/root/reference/main.py:327-338), not the README's aspirational
+# ranges — the README describes a larger space than the shipped CLI
+# actually samples (docs/DATASET_r4.md provenance section). Calibration-
+# driven loss metrics keep the README's published observed ranges
+# (/root/reference/README.md:240-250).
 REF_RANGES = {
     # field                    (ref_lo, ref_hi, note)
-    "core_radius_um":  (0.5, 3.0, "sampler bound"),
-    "pitch_um":        (3.0, 15.0, "sampler bound"),
-    "V_number":        (2.0, 12.0, "sampler bound"),
+    "core_radius_um":  (0.9, 1.6, "sampler bound (main.py:335)"),
+    "pitch_um":        (4.5, 12.0, "sampler bound (main.py:336)"),
+    "V_number":        (2.0, 12.0, "physics validator window"),
     "IL_phys_mux_dB":  (2.135, 2.513, "reference observed"),
     "MDL_phys_mux_dB": (0.417, 0.937, "reference observed"),
     "PDL_mux_dB":      (0.06, 4.887, "reference observed (PDL_mean)"),
     "n_modes_found":   (6, 39, "reference observed"),
 }
 REF_CATEGORICAL = {
-    "n_cores": [2, 3, 6, 7, 12, 19],
-    "wavelength_nm": [1490, 1550, 1590, 1610, 1650],
+    # main.py:331-332 / :338 code choices
+    "n_cores": [2, 3, 4, 5, 6, 7, 9, 12, 19],
+    "wavelength_nm": [1530, 1550, 1570, 1590, 1610],
 }
 
 
