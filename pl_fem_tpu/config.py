@@ -74,6 +74,15 @@ class SolverConfig:
     # MXU 0/1-selector matmul, ops/blockplan.py). None = env
     # PL_FEM_ACC or 'gather'.
     accumulate: Optional[str] = None
+    # bucket-member operator correction in the f64 polish (round-5;
+    # docs/PARITY_r3.md §A): 'deform' re-assembles each core's
+    # interface annulus on a radially deformed, member-CONFORMING
+    # geometry (ops/host_assembly.py member_deformed_coords) — removes
+    # the ~1e-4 non-conforming-interface bucket floor; 'mask' keeps the
+    # round-3 indicator-only correction. 'deform' falls back to 'mask'
+    # per member when the map is inapplicable (moved centers, tangled
+    # deformed elements).
+    member_correction: str = "deform"
     # diagnostic mode (round-4, VERDICT A2 gap): validate geometry
     # inputs for finiteness before the sweep and finite-check each
     # design's filter subspace per round. A diverged/NaN design is
@@ -107,7 +116,10 @@ class MeshConfig:
     # 0.05 = accuracy-safe (~1e-4 bucket n_eff floor); 0.20 collapses a
     # 220-sample LHS from 146 to 71 buckets (better sweep amortization)
     # while member interfaces stay inside the class mesh's refinement
-    # ring — accuracy_class on each record documents the tradeoff
+    # ring — accuracy_class on each record documents the tradeoff.
+    # SAFE CEILING ~0.23: past it the worst-case member interface
+    # ((1+band)**-0.5 * r_class) leaves the 0.90*r refinement ring
+    # (bucketing.check_band warns).
     bucket_ratio_band: float = 0.05
     min_edge_factor: float = 0.0      # optional floor on local edge length
     # isoparametric curved interface elements: P2 edge midpoints on
@@ -155,6 +167,11 @@ class SimulationConfig:
     # overlap fields: full transverse (hx, hy) stack (True) or the
     # hx component only (False, round-2 behavior)
     cmt_full_field: bool = True
+    # dataset bucket pipeline depth: while bucket N runs its host f64
+    # polish / losses (device idle), bucket N+1's device filter
+    # dispatches from a second thread. 1 = serial (round-4 behavior).
+    # Depths > 2 add host contention on this 1-core VM, not overlap.
+    pipeline_buckets: int = 2
 
     def derived_mesh(self) -> MeshConfig:
         return dataclasses.replace(

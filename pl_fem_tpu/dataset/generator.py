@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import logging
 import math
+import threading
 import time
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
@@ -248,9 +249,17 @@ class DatasetGenerator:
         else:
             rec.solver_mode = "bucketed_sweep" if bucketed else "per_design"
             if s.beta_passes >= 2:
-                rec.accuracy_class = (
-                    "accuracy (~1e-4 bucket floor)" if bucketed
-                    else "accuracy (~2e-6 n_eff)")
+                if bucketed:
+                    # the ~1e-4 bucket floor is measured at band 0.05
+                    # (docs/PARITY_r3.md §A); wider bands admit members
+                    # farther from the class geometry, so stamp the band
+                    # and only quote the floor where it was measured
+                    band = self.config.mesh.bucket_ratio_band
+                    floor = " ~1e-4 floor" if band <= 0.05 else ""
+                    rec.accuracy_class = (
+                        f"accuracy (bucket band {band:.2f}{floor})")
+                else:
+                    rec.accuracy_class = "accuracy (~2e-6 n_eff)"
             else:
                 rec.accuracy_class = "fast (~8e-4 n_eff)"
         if grid is not None and grid.quality is not None:
@@ -361,13 +370,19 @@ class DatasetGenerator:
         band = self.config.mesh.bucket_ratio_band
         groups = group_by_bucket([p[2] for p in prepared], band)
         dev_mesh = self._device_mesh()
-        logger.info("bucketed run: %d samples -> %d buckets (%s)",
+        pipeline = max(1, int(self.config.pipeline_buckets))
+        logger.info("bucketed run: %d samples -> %d buckets (%s%s)",
                     len(prepared), len(groups),
                     f"{dev_mesh.size}-device mesh" if dev_mesh is not None
-                    else "single device")
-        for key, rows in groups.items():
+                    else "single device",
+                    f", {pipeline}-bucket pipeline" if pipeline > 1
+                    else "")
+        emit_lock = threading.Lock()
+
+        def _solve_bucket(key, rows):
             members = [prepared[j] for j in rows]
             t_bucket = time.time()
+            sweep_diags: Dict[int, str] = {}
             try:
                 cls_geom = class_geometry(key, members[0][2], band)
                 grid = MeshGenerator.generate(
@@ -379,18 +394,17 @@ class DatasetGenerator:
                 n_target = self._n_modes_target(members[0][2])
                 sweep = TrueVectorialMaxwellSolver.solve_sweep(
                     [c for c, _ in pairs], dg, n_target, self.config,
-                    mesh=dev_mesh)
+                    mesh=dev_mesh, diag_out=sweep_diags)
             except Exception as e:
                 logger.warning("bucket %s failed: %s", key, e)
                 for (i, _, _, _) in members:
                     recs[i].error_msg = f"bucket solve: {e}"
                     recs[i].solver_time_s = time.time() - t_bucket
                 if on_batch is not None:
-                    on_batch([recs[i] for (i, _, _, _) in members])
-                continue
+                    with emit_lock:
+                        on_batch([recs[i] for (i, _, _, _) in members])
+                return
             per_member = (time.time() - t_bucket) / max(len(members), 1)
-            sweep_diags = dict(
-                TrueVectorialMaxwellSolver.last_sweep_diagnostics)
             for j, ((i, sample, geom, pm), (_, s), modes) in enumerate(
                     zip(members, pairs, sweep)):
                 rec = recs[i]
@@ -414,7 +428,29 @@ class DatasetGenerator:
                     rec.error_msg = str(e)
                 rec.solver_time_s = per_member + timer.total
             if on_batch is not None:
-                on_batch([recs[i] for (i, _, _, _) in members])
+                with emit_lock:
+                    on_batch([recs[i] for (i, _, _, _) in members])
+
+        if pipeline > 1 and len(groups) > 1:
+            # two-stage bucket pipeline: while bucket N runs its host-
+            # side polish/losses (device idle), bucket N+1's device
+            # filter dispatches — numpy/scipy release the GIL in the
+            # heavy host ops and jax dispatch releases it while
+            # waiting, so plain threads recover the overlap (measured
+            # phase split: 15.6 s device filter vs 9-13.6 s host per
+            # production sweep, docs/STATUS_round4.md). Work items
+            # (buckets) never share records, grids, or families;
+            # shared caches are locked at their definition sites.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=pipeline) as ex:
+                futs = [ex.submit(_solve_bucket, key, rows)
+                        for key, rows in groups.items()]
+                for f in futs:
+                    f.result()
+        else:
+            for key, rows in groups.items():
+                _solve_bucket(key, rows)
         return recs
 
     # ------------------------------------------------------------------

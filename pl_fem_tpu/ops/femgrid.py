@@ -18,6 +18,7 @@ import dataclasses
 import hashlib
 import logging
 import pickle
+import threading
 from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, Optional, Tuple
@@ -305,6 +306,11 @@ class FEMGrid:
     dof_coords: np.ndarray       # (D, 2)
     boundary_dofs: np.ndarray    # (Bd,) int64
     interior_mask: np.ndarray    # (D,) bool
+    # material-interface circles ((C, 3) x, y, r) the mesh CONFORMS to
+    # (vertices + curved P2 midpoints sit on them) — the anchor for the
+    # bucket engine's member-conforming deformation (host_assembly
+    # member_deformed_coords). None for meshes built without circles.
+    circles: Optional[np.ndarray] = None
     # quality provenance, populated by MeshGenerator._generate (gate
     # per MeshConfig.quality_gate; reference seam mesh.py:527-569)
     quality: Optional[Dict] = None
@@ -387,7 +393,9 @@ def build_p2_grid(mesh: TriMesh, circles=None) -> FEMGrid:
     interior = np.ones(dof_coords.shape[0], dtype=bool)
     interior[boundary_dofs] = False
     return FEMGrid(mesh, elem_dofs.astype(np.int64), dof_coords,
-                   boundary_dofs.astype(np.int64), interior)
+                   boundary_dofs.astype(np.int64), interior,
+                   circles=(None if circles is None
+                            else np.asarray(circles, dtype=np.float64)))
 
 
 # ============================================================================
@@ -422,6 +430,8 @@ class DeviceGrid:
     n_elems: int               # actual element count
     n_dofs: int                # actual DOF count
     bucket: Tuple[int, ...]
+    # conforming material-interface circles (see FEMGrid.circles)
+    circles: Optional[np.ndarray] = None
 
     @property
     def n_dofs_padded(self) -> int:
@@ -583,6 +593,7 @@ def export_device_grid(grid: FEMGrid, bucket_rounding: int = 4096,
         n_elems=grid.n_elems,
         n_dofs=grid.n_dofs,
         bucket=(E, D, split, gv_idx.shape[1]),
+        circles=grid.circles,
     )
 
 
@@ -653,6 +664,11 @@ class MeshGenerator:
     _cache_misses = 0
     _cache_max_memory_mb = 500.0
     MAX_REFINEMENT_ITERATIONS = 5
+    # the class-level LRU is shared across the dataset engine's bucket-
+    # pipeline threads (the reference's unsynchronized class cache is a
+    # known hazard, SURVEY.md §5); generation itself serializes too —
+    # meshing is host-bound and this VM has one core anyway
+    _lock = threading.RLock()
 
     @classmethod
     def generate(cls, geometry, refinement: float = 1.0,
@@ -660,15 +676,17 @@ class MeshGenerator:
         config = config or SimulationConfig()
         mc = config.derived_mesh()
         key = cls._cache_key(geometry, refinement, mc)
-        if config.enable_mesh_cache and key in cls._cache:
-            cls._cache_hits += 1
-            cls._cache.move_to_end(key)
-            return cls._cache[key]
-        cls._cache_misses += 1
-        grid = cls._generate(geometry, refinement, config.derived_mesh())
-        if config.enable_mesh_cache:
-            cls._add(key, grid, config.cache_max_size)
-        return grid
+        with cls._lock:
+            if config.enable_mesh_cache and key in cls._cache:
+                cls._cache_hits += 1
+                cls._cache.move_to_end(key)
+                return cls._cache[key]
+            cls._cache_misses += 1
+            grid = cls._generate(geometry, refinement,
+                                 config.derived_mesh())
+            if config.enable_mesh_cache:
+                cls._add(key, grid, config.cache_max_size)
+            return grid
 
     @classmethod
     def _generate(cls, geometry, refinement: float, mc: MeshConfig) -> FEMGrid:

@@ -14,6 +14,7 @@ arrays from DeviceGrid, same forms as /root/reference/solver_fem.py:
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -284,7 +285,20 @@ class HostVector3:
 
 
 def build_host_vector3(dg: DeviceGrid, eps_params,
-                       alpha_p: float = 1.0) -> HostVector3:
+                       alpha_p: float = 1.0,
+                       conform: bool = False) -> HostVector3:
+    """f64 quadratic pencil A(beta) for one design on ``dg``.
+
+    ``conform=True``: when the grid's conforming circles (dg.circles)
+    do not match ``eps_params``' core radii (a bucket-class grid with
+    an off-center member), re-derive the quadrature tables on the
+    member-conforming radial deformation (member_deformed_coords) so
+    the discretization conforms to the MEMBER interface — the same
+    operator the sweep family's 'deform' correction produces. Falls
+    back to the plain (non-conforming) assembly when inapplicable.
+    """
+    if conform:
+        dg = _conforming_tables(dg, eps_params) or dg
     eps_re, eps_im = eps_at_quadrature_np(dg, eps_params)
     prim = vector3_prims_np(dg, eps_re)
     T = dg.n_elems
@@ -356,6 +370,9 @@ class HostVector3Family:
     dg: Optional[DeviceGrid] = None
     in_core_base: Optional[np.ndarray] = None   # (E, Q) bool
     alpha_p: float = 1.0
+    # base core layout (for the member-conforming deformation)
+    base_positions: Optional[np.ndarray] = None  # (C, 2)
+    base_radii: Optional[np.ndarray] = None      # (C,)
 
     def _mask_correction(self, eps_params):
         """Sparse i-channel correction for weight (m_member - m_base).
@@ -397,19 +414,141 @@ class HostVector3Family:
             for blocks in (A0, A1, A2)])
         return uniq, vals
 
-    def _corr_for(self, eps_params):
-        """Cached sparse mask correction for one member layout."""
+    def _geom_correction(self, eps_params):
+        """Member-CONFORMING sparse correction (geometry + indicator).
+
+        Re-assembles the elements inside each core's deformation
+        annulus on a radially deformed geometry whose interface
+        coincides with the MEMBER circles (``member_deformed_coords``),
+        and subtracts the family's base contribution on the same
+        elements. Unlike ``_mask_correction`` (indicator-only on the
+        class geometry — O(h) interface error, the ~1e-4 bucket floor
+        of docs/PARITY_r3.md §A) this yields the member's conforming
+        discretization exactly.
+
+        Returns ``("geom", slots, gvals, M3corr)``: ``gvals`` is
+        (3 channels [core, clad, u], 3 beta-powers, s) so the combine
+        stays linear in (1/eps_core, 1/eps_clad); ``M3corr`` the sparse
+        3-block mass correction. None when the deformation is
+        inapplicable (caller falls back to the mask correction).
+        """
+        dg = self.dg
+        if dg.circles is None:
+            return None            # mesh has no conforming-circle anchor
+        centers = dg.circles[:, :2]
+        mesh_rad = dg.circles[:, 2]
+        mpos = np.asarray(eps_params.positions, dtype=np.float64)
+        mrad = np.asarray(eps_params.core_radii, dtype=np.float64)
+        if (self.base_positions is None or len(mpos) != len(centers)
+                or len(self.base_positions) != len(centers)):
+            return None
+        tol = 1e-9 * max(float(mesh_rad.max()), 1e-12)
+        if (np.max(np.abs(mpos - centers)) > tol
+                or np.max(np.abs(self.base_positions - centers)) > tol):
+            return None            # centers moved: radial map inapplicable
+        if (np.max(np.abs(mrad - mesh_rad)) <= tol
+                and np.max(np.abs(self.base_radii - mesh_rad)) <= tol):
+            return ("geom", None, None, None)  # conforming, base-identical
+        out = member_deformed_coords(dg.dof_coords, centers,
+                                     mesh_rad, mrad)
+        if out is None:
+            return None
+        coords_def, moved = out
+        T = dg.n_elems
+        ed = dg.elem_dofs[:T].astype(np.int64)
+        elems_mask = moved[ed].any(axis=1)
+        # also cover elements whose quadrature indicator changes even
+        # though no node moved (belt and braces; should be empty)
+        x = dg.qp_xy[:T, :, 0]
+        y = dg.qp_xy[:T, :, 1]
+        d2 = ((x[..., None] - mpos[:, 0]) ** 2
+              + (y[..., None] - mpos[:, 1]) ** 2)
+        chi_cls = np.any(d2 <= mrad**2, axis=-1)
+        elems_mask |= (chi_cls != self.in_core_base[:T]).any(axis=1)
+        elems = np.where(elems_mask)[0]
+        if len(elems) == 0:
+            return ("geom", None, None, None)
+        tabs = _iso_tables_for_nodes(coords_def[ed[elems]])
+        if tabs is None:
+            return None            # tangled deformed element
+        tg_def = _TableGrid(*tabs)
+        tg_cls = _SubGrid(dg, elems)
+        # member indicator at deformed qp (conforming: constant per
+        # element up to roundoff) / base indicator at class qp
+        dd2 = ((tg_def.qp_xy[..., 0][..., None] - mpos[:, 0]) ** 2
+               + (tg_def.qp_xy[..., 1][..., None] - mpos[:, 1]) ** 2)
+        chi_def = np.any(dd2 <= mrad**2, axis=-1)
+        chi_base = self.in_core_base[:T][elems]
+
+        def _triple(prim):
+            A0 = stack_blocks_np(
+                combine_vector3_np(prim, 0.0, self.alpha_p), 3)
+            A1 = stack_blocks_np(
+                combine_vector3_np(prim, 0.0, self.alpha_p,
+                                   derivative=True), 3)
+            Af = stack_blocks_np(
+                combine_vector3_np(prim, 1.0, self.alpha_p), 3)
+            return A0, A1, Af - A0 - A1
+
+        ch_def = _channel_prims(tg_def, chi_def)
+        ch_cls = _channel_prims(tg_cls, chi_base)
+        perm = self.pat.perm.reshape(T, -1)[elems].ravel()
+        uniq, inv = np.unique(perm, return_inverse=True)
+        gvals = np.zeros((3, 3, len(uniq)))
+        for c in range(3):
+            blocks_d = _triple(ch_def[c])
+            blocks_c = _triple(ch_cls[c])
+            for i in range(3):
+                gvals[c, i] = np.bincount(
+                    inv, weights=(blocks_d[i] - blocks_c[i]).ravel(),
+                    minlength=len(uniq))
+        # scalar mass correction (B inner product of the polish)
+        Nq = np.broadcast_to(tg_def.shape_vals[None],
+                             tg_def.qp_w.shape + (6,))
+        m_def = _wsum_np(tg_def.qp_w, np.ones_like(tg_def.qp_w), Nq, Nq)
+        Nqc = np.broadcast_to(tg_cls.shape_vals[None],
+                              tg_cls.qp_w.shape + (6,))
+        m_cls = _wsum_np(tg_cls.qp_w, np.ones_like(tg_cls.qp_w), Nqc, Nqc)
+        sperm = self.spat.perm.reshape(T, -1)[elems].ravel()
+        mdata = np.zeros(len(self.spat.indices))
+        np.add.at(mdata, sperm, (m_def - m_cls).ravel())
+        # COPY the pattern arrays: eliminate_zeros() compacts indices/
+        # indptr IN PLACE, and sharing them would corrupt the cached
+        # SharedCSR pattern for every later assembly on this grid
+        Mc = sp.csr_matrix((mdata, self.spat.indices.copy(),
+                            self.spat.indptr.copy()),
+                           shape=self.spat.shape)
+        Mc.eliminate_zeros()
+        M3corr = sp.block_diag([Mc, Mc, Mc], format="csr")
+        return ("geom", uniq, gvals, M3corr)
+
+    def _corr_for(self, eps_params, mode: str = "deform"):
+        """Cached sparse member correction for one layout.
+
+        ``mode``: 'deform' = member-conforming geometry re-assembly
+        (falls back to the indicator mask when inapplicable); 'mask' =
+        round-3 indicator-only correction.
+        """
         if eps_params is None or self.dg is None:
             return None
         # raw bytes as the key: the cache holds <= 16 entries, and a
         # crc32 collision between two member layouts would silently
         # reuse the wrong interface correction in the f64 polish
         key = (np.ascontiguousarray(eps_params.positions).tobytes(),
-               np.ascontiguousarray(eps_params.core_radii).tobytes())
+               np.ascontiguousarray(eps_params.core_radii).tobytes(),
+               mode)
         if key not in self._corr_cache:
             if len(self._corr_cache) > 16:
                 self._corr_cache.clear()
-            self._corr_cache[key] = self._mask_correction(eps_params)
+            corr = self._geom_correction(eps_params) \
+                if mode == "deform" else None
+            if corr is None:
+                corr = self._mask_correction(eps_params)
+                if corr is not None:
+                    corr = ("mask",) + corr
+            elif corr[1] is None:
+                corr = None        # layouts identical: nothing to add
+            self._corr_cache[key] = corr
         return self._corr_cache[key]
 
     def _combine_into(self, out, ic: float, il: float,
@@ -431,23 +570,34 @@ class HostVector3Family:
                 oi[s:e] += il * self.d_clad[i, s:e]
                 oi[s:e] += self.d_u[i, s:e]
             if corr is not None:
-                slots, vals = corr
-                oi[slots] += (ic - il) * vals[i]
+                if corr[0] == "geom":
+                    _, slots, gvals, _ = corr
+                    oi[slots] += (ic * gvals[0, i] + il * gvals[1, i]
+                                  + gvals[2, i])
+                else:
+                    _, slots, vals = corr
+                    oi[slots] += (ic - il) * vals[i]
         return out
 
     def instantiate(self, eps_core: float, eps_clad: float,
-                    eps_params=None) -> "HostVector3":
+                    eps_params=None,
+                    correction: str = "deform") -> "HostVector3":
         ic, il = 1.0 / eps_core, 1.0 / eps_clad
         nnz = self.d_u.shape[1]
+        corr = self._corr_for(eps_params, correction)
         d = self._combine_into([np.empty(nnz) for _ in range(3)], ic, il,
-                               self._corr_for(eps_params))
+                               corr)
         Mim = None if self.Msig is None else eps_clad * self.Msig
+        M3 = self.M3
+        if corr is not None and corr[0] == "geom" and corr[3] is not None:
+            M3 = (M3 + corr[3]).tocsr()
         return HostVector3(pat=self.pat, d0=d[0], d1=d[1], d2=d[2],
-                           M3=self.M3, spat=self.spat, Dxx=self.Dxx,
+                           M3=M3, spat=self.spat, Dxx=self.Dxx,
                            Dyy=self.Dyy, Dxy=self.Dxy, Mim=Mim)
 
     def design_view(self, eps_core: float, eps_clad: float,
-                    eps_params=None) -> "LazyVector3":
+                    eps_params=None,
+                    correction: str = "deform") -> "LazyVector3":
         """Zero-copy per-design view for the sweep polish.
 
         Unlike ``instantiate`` it materializes NO (3, nnz) data: the
@@ -458,7 +608,7 @@ class HostVector3Family:
         was 67 s of a 111 s steady solve_sweep, scratch/prof_sweep.py)."""
         return LazyVector3(fam=self, ic=1.0 / eps_core,
                            il=1.0 / eps_clad, eps_clad=eps_clad,
-                           corr=self._corr_for(eps_params))
+                           corr=self._corr_for(eps_params, correction))
 
     def _scratch_views(self):
         """(scratch (3, nnz) buffer, [K0, K1, K2] CSR views over it).
@@ -502,6 +652,11 @@ class LazyVector3:
 
     @property
     def M3(self) -> sp.csr_matrix:
+        if (self.corr is not None and self.corr[0] == "geom"
+                and self.corr[3] is not None):
+            if self._m3 is None:
+                self._m3 = (self.fam.M3 + self.corr[3]).tocsr()
+            return self._m3
         return self.fam.M3
 
     @property
@@ -526,6 +681,7 @@ class LazyVector3:
 
     def __post_init__(self):
         self._mim = None
+        self._m3 = None
 
     def Ai_matvec(self, V: np.ndarray):
         _, views = self.fam._scratch_views()
@@ -545,7 +701,166 @@ class _SubGrid:
         self.n_elems = len(elems)
 
 
+# ---------------------------------------------------------------------------
+# member-conforming geometry deformation (bucket sweeps)
+# ---------------------------------------------------------------------------
+
+def _iso_tables_for_nodes(nodes: np.ndarray, quad_degree: int = 4):
+    """Isoparametric quadrature tables for explicit (T, 6, 2) nodes.
+
+    Mirrors ops/femgrid.py export_device_grid's per-element math.
+    Returns (qp_w, qp_xy, grad_phys, shape_vals) or None when any
+    element's map is tangled (non-positive detJ at a quadrature point).
+    """
+    from .quadrature import RULES, p2_shape
+
+    qp, qw = RULES[quad_degree]
+    Nv, dN = p2_shape(qp)
+    Jq = np.einsum("tia,qib->tqab", nodes, dN)
+    detJq = Jq[..., 0, 0] * Jq[..., 1, 1] - Jq[..., 0, 1] * Jq[..., 1, 0]
+    if detJq.min() <= 0.0:
+        return None
+    invJTq = np.empty_like(Jq)
+    invJTq[..., 0, 0] = Jq[..., 1, 1]
+    invJTq[..., 0, 1] = -Jq[..., 1, 0]
+    invJTq[..., 1, 0] = -Jq[..., 0, 1]
+    invJTq[..., 1, 1] = Jq[..., 0, 0]
+    invJTq = invJTq / detJq[..., None, None]
+    grad_phys = np.einsum("tqab,qib->tqia", invJTq, dN)
+    qp_xy = np.einsum("qi,tia->tqa", Nv, nodes)
+    qp_w = np.abs(detJq) * qw[None, :]
+    return qp_w, qp_xy, grad_phys, Nv
+
+
+def member_deformed_coords(dof_coords: np.ndarray, centers: np.ndarray,
+                           mesh_rad: np.ndarray, member_rad: np.ndarray):
+    """Radially deform node coords so the mesh conforms to member circles.
+
+    The bucket class mesh conforms to the CLASS core circles
+    ``(centers, mesh_rad)`` — vertices and curved P2 midpoints sit on
+    them. Each core gets a piecewise-linear radial map — identity below
+    0.55 r_mesh and beyond r_out, r_mesh -> r_member at the interface —
+    that carries the on-circle nodes exactly onto the MEMBER circles.
+    The deformed mesh is a conforming member discretization: this
+    removes the O(h) interior eps-jump error of the non-conforming
+    member interface (the ~1e-4 bucket accuracy floor of
+    docs/PARITY_r3.md §A).
+
+    Returns (coords_def, moved_mask) or None when the map is
+    inapplicable (support radii would overlap neighbouring cores or
+    the member interface falls outside the support).
+    """
+    if len(centers) > 1:
+        diff = centers[:, None, :] - centers[None, :, :]
+        d2 = (diff**2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        dmin = float(np.sqrt(d2.min()))
+    else:
+        dmin = np.inf
+    r_out = np.minimum(0.45 * dmin, 1.7 * mesh_rad)
+    r_in = 0.55 * mesh_rad
+    if np.any(r_out < 1.12 * np.maximum(mesh_rad, member_rad)):
+        return None
+    d_all = np.linalg.norm(dof_coords[:, None, :] - centers[None, :, :],
+                           axis=-1)
+    ci = np.argmin(d_all, axis=1)                  # nearest core per node
+    d = d_all[np.arange(len(dof_coords)), ci]
+    rb, rm = mesh_rad[ci], member_rad[ci]
+    ri, ro = r_in[ci], r_out[ci]
+    inner = ri + (d - ri) * (rm - ri) / (rb - ri)
+    outer = rm + (d - rb) * (ro - rm) / (ro - rb)
+    d_new = np.where(d <= ri, d, np.where(d <= rb, inner,
+                     np.where(d < ro, outer, d)))
+    moved = np.abs(d_new - d) > 1e-14 * np.maximum(rb, 1.0)
+    coords_def = dof_coords.copy()
+    scale = np.where(d > 1e-300, d_new / np.maximum(d, 1e-300), 1.0)
+    coords_def[moved] = (centers[ci[moved]]
+                         + (dof_coords[moved] - centers[ci[moved]])
+                         * scale[moved, None])
+    return coords_def, moved
+
+
+_V3_SUFFIXES = ("_gxgx", "_gygy", "_gxgy", "_nn", "_ngx", "_ngy")
+
+
+def _channel_prims(tg, chi: np.ndarray):
+    """(core, clad, u) channel primitive dicts on tables ``tg``.
+
+    chi: (E, Q) member in-core indicator at tg's quadrature points.
+    core = 1/eps weight restricted to chi, clad = restricted to 1-chi,
+    u = unweighted — the linear decomposition the family stores.
+    """
+    ones = np.ones_like(tg.qp_w)
+    pa = vector3_prims_np(tg, None, weights={"i": chi.astype(np.float64),
+                                             "u": ones})
+    pb = vector3_prims_np(tg, None, weights={"i": ones, "u": None})
+    zero = np.zeros_like(pa["i_nn"])
+    core = {"i" + s: pa["i" + s] for s in _V3_SUFFIXES}
+    clad = {"i" + s: pb["i" + s] - pa["i" + s] for s in _V3_SUFFIXES}
+    for d in (core, clad):
+        for s in _V3_SUFFIXES:
+            d["u" + s] = zero
+    uch = {"u" + s: pa["u" + s] for s in _V3_SUFFIXES}
+    for s in _V3_SUFFIXES:
+        uch["i" + s] = zero
+    return core, clad, uch
+
+
+def _conforming_tables(dg: DeviceGrid, eps_params):
+    """DeviceGrid copy whose quadrature tables conform to the member.
+
+    Full-grid variant of the family's sparse 'deform' correction, for
+    one-off single-design assemblies on a foreign (bucket-class) grid.
+    Returns None when the deformation is inapplicable (no circles,
+    moved centers, already conforming, tangled elements).
+    """
+    if dg.circles is None:
+        return None
+    centers = dg.circles[:, :2]
+    mesh_rad = dg.circles[:, 2]
+    mpos = np.asarray(eps_params.positions, dtype=np.float64)
+    mrad = np.asarray(eps_params.core_radii, dtype=np.float64)
+    if len(mpos) != len(centers):
+        return None
+    tol = 1e-9 * max(float(mesh_rad.max()), 1e-12)
+    if np.max(np.abs(mpos - centers)) > tol:
+        return None
+    if np.max(np.abs(mrad - mesh_rad)) <= tol:
+        return None                       # already conforming
+    out = member_deformed_coords(dg.dof_coords, centers, mesh_rad, mrad)
+    if out is None:
+        return None
+    coords_def, _ = out
+    T = dg.n_elems
+    ed = dg.elem_dofs[:T].astype(np.int64)
+    tabs = _iso_tables_for_nodes(coords_def[ed])
+    if tabs is None:
+        return None
+
+    def full(new, old):
+        if old.shape[0] > T:
+            return np.concatenate([new, old[T:]], axis=0)
+        return new
+
+    qp_w, qp_xy, grad_phys, _ = tabs
+    return dataclasses.replace(
+        dg, qp_w=full(qp_w, dg.qp_w), qp_xy=full(qp_xy, dg.qp_xy),
+        grad_phys=full(grad_phys, dg.grad_phys))
+
+
+class _TableGrid:
+    """Explicit quadrature tables quacking like a DeviceGrid subset."""
+
+    def __init__(self, qp_w, qp_xy, grad_phys, shape_vals):
+        self.qp_w = qp_w
+        self.qp_xy = qp_xy
+        self.grad_phys = grad_phys
+        self.shape_vals = shape_vals
+        self.n_elems = qp_w.shape[0]
+
+
 _FAMILY_CACHE: dict = {}
+_FAMILY_LOCK = threading.RLock()
 
 
 def build_host_vector3_family(dg: DeviceGrid, eps_params,
@@ -554,6 +869,9 @@ def build_host_vector3_family(dg: DeviceGrid, eps_params,
 
     Cached per (grid connectivity, core layout, alpha): sweeps and
     repeat solves on a shared mesh pay the ~tens-of-seconds build once.
+    Serialized under a lock: the dataset engine's bucket pipeline calls
+    this from two threads, and an unsynchronized LRU could double-build
+    a family or pop a key another thread just inserted.
     """
     import zlib
 
@@ -561,17 +879,19 @@ def build_host_vector3_family(dg: DeviceGrid, eps_params,
            zlib.crc32(np.ascontiguousarray(eps_params.positions).tobytes()),
            zlib.crc32(np.ascontiguousarray(eps_params.core_radii).tobytes()),
            float(alpha_p))
-    fam = _FAMILY_CACHE.get(key)
-    if fam is not None:
+    with _FAMILY_LOCK:
+        fam = _FAMILY_CACHE.get(key)
+        if fam is not None:
+            return fam
+        fam = _build_host_vector3_family(dg, eps_params, alpha_p)
+        # LRU of a few families (~100s MB each). One slot thrashed: the
+        # two-grid bootstrap alternates coarse/fine grids every solve,
+        # and a single-entry cache rebuilt one of them per sweep
+        # (measured ~7 s).
+        while len(_FAMILY_CACHE) >= 4:
+            _FAMILY_CACHE.pop(next(iter(_FAMILY_CACHE)))
+        _FAMILY_CACHE[key] = fam
         return fam
-    fam = _build_host_vector3_family(dg, eps_params, alpha_p)
-    # LRU of a few families (~100s MB each). One slot thrashed: the
-    # two-grid bootstrap alternates coarse/fine grids every solve, and a
-    # single-entry cache rebuilt one of them per sweep (measured ~7 s).
-    while len(_FAMILY_CACHE) >= 4:
-        _FAMILY_CACHE.pop(next(iter(_FAMILY_CACHE)))
-    _FAMILY_CACHE[key] = fam
-    return fam
 
 
 def _build_host_vector3_family(dg: DeviceGrid, eps_params,
@@ -630,7 +950,9 @@ def _build_host_vector3_family(dg: DeviceGrid, eps_params,
                              d_clad=d_clad, d_u=d_u, M3=M3, Dxx=Dxx,
                              Dyy=Dyy, Dxy=Dxy, Msig=Msig, dg=dg,
                              in_core_base=in_core.astype(bool),
-                             alpha_p=alpha_p)
+                             alpha_p=alpha_p,
+                             base_positions=pos.astype(np.float64),
+                             base_radii=rad.astype(np.float64))
 
 
 # ---------------------------------------------------------------------------

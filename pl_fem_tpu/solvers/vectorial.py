@@ -441,7 +441,8 @@ class TrueVectorialMaxwellSolver:
     @classmethod
     def solve_sweep(cls, geometries, grid, n_modes_target: int = 20,
                     config: Optional[SimulationConfig] = None,
-                    _raw_modes: bool = False, mesh=None):
+                    _raw_modes: bool = False, mesh=None,
+                    diag_out: Optional[Dict[int, str]] = None):
         """Solve B same-grid designs in one packed device sweep.
 
         All geometries must share the mesh (same core layout at the
@@ -460,6 +461,12 @@ class TrueVectorialMaxwellSolver:
         axis of the filter shards over it (shard_map over the SAME
         fused kernels; kernels.py ``_sweep_sharded_fns``). B is padded
         up to a mesh-size multiple by repeating the last design.
+
+        ``diag_out``: optional dict that receives the per-design
+        diagnostics of THIS call (design index -> message). The
+        class-level ``last_sweep_diagnostics`` hook is still set, but
+        it races under concurrent sweeps (the dataset engine's bucket
+        pipeline) — concurrent callers must use ``diag_out``.
         """
         from ..utils import PhaseTimer
 
@@ -478,7 +485,8 @@ class TrueVectorialMaxwellSolver:
         # poisons the shared device convergence gate (max over designs),
         # so bad designs are excluded here, diagnosed in
         # ``last_sweep_diagnostics``, and the healthy subset solves.
-        diags: Dict[int, str] = {}
+        diags: Dict[int, str] = diag_out if diag_out is not None else {}
+        diags.clear()
         cls.last_sweep_diagnostics = diags
         if scfg.debug_checks:
             for bix, g in enumerate(geometries):
@@ -496,15 +504,20 @@ class TrueVectorialMaxwellSolver:
                                "non-finite inputs: %s", len(diags), B,
                                diags)
                 good = [i for i in range(B) if i not in diags]
+                pre = dict(diags)
                 results = [[] for _ in range(B)]
                 if good:
+                    sub_d: Dict[int, str] = {}
                     sub = cls.solve_sweep([geometries[i] for i in good],
                                           dg, n_modes_target, cfg,
-                                          _raw_modes=_raw_modes, mesh=mesh)
+                                          _raw_modes=_raw_modes, mesh=mesh,
+                                          diag_out=sub_d)
                     for j, i in enumerate(good):
                         results[i] = sub[j]
-                        if j in cls.last_sweep_diagnostics:
-                            diags[i] = cls.last_sweep_diagnostics[j]
+                        if j in sub_d:
+                            pre[i] = sub_d[j]
+                diags.clear()
+                diags.update(pre)
                 cls.last_sweep_diagnostics = diags
                 return results
 
@@ -522,12 +535,14 @@ class TrueVectorialMaxwellSolver:
             n_dev = mesh.size
             if B % n_dev:
                 pad = n_dev - B % n_dev
+                sub_d: Dict[int, str] = {}
                 out = cls.solve_sweep(
                     list(geometries) + [geometries[-1]] * pad, dg,
-                    n_modes_target, cfg, _raw_modes=_raw_modes, mesh=mesh)
-                cls.last_sweep_diagnostics = {
-                    i: m for i, m in cls.last_sweep_diagnostics.items()
-                    if i < B}
+                    n_modes_target, cfg, _raw_modes=_raw_modes, mesh=mesh,
+                    diag_out=sub_d)
+                diags.clear()
+                diags.update({i: m for i, m in sub_d.items() if i < B})
+                cls.last_sweep_diagnostics = diags
                 return out[:B]
         else:
             mesh = None
@@ -549,11 +564,12 @@ class TrueVectorialMaxwellSolver:
         if B > b_max:
             out = []
             for s in range(0, B, b_max):
+                sub_d = {}
                 out.extend(cls.solve_sweep(geometries[s:s + b_max], dg,
                                            n_modes_target, cfg,
                                            _raw_modes=_raw_modes,
-                                           mesh=mesh))
-                for j, m in cls.last_sweep_diagnostics.items():
+                                           mesh=mesh, diag_out=sub_d))
+                for j, m in sub_d.items():
                     diags[s + j] = m
             cls.last_sweep_diagnostics = diags
             return out
@@ -650,9 +666,13 @@ class TrueVectorialMaxwellSolver:
 
         with timer.phase("host_family"):
             if B == 1:
-                # one-off single design: skip the 3x-cost family precompute
-                hv_single = build_host_vector3(dg, g0.eps_params(),
-                                               scfg.alpha_penalty)
+                # one-off single design: skip the 3x-cost family
+                # precompute. conform: on a foreign (bucket-class) grid
+                # the polish uses the member-conforming deformed tables,
+                # matching the family path's 'deform' correction.
+                hv_single = build_host_vector3(
+                    dg, g0.eps_params(), scfg.alpha_penalty,
+                    conform=(scfg.member_correction == "deform"))
                 family = None
             else:
                 family = build_host_vector3_family(dg, g0.eps_params(),
@@ -680,7 +700,8 @@ class TrueVectorialMaxwellSolver:
                 g = geometries[bix]
                 hv_cache[bix] = hv_single if family is None else \
                     family.design_view(g.n_core**2, g.n_clad**2,
-                                       eps_params=g.eps_params())
+                                       eps_params=g.eps_params(),
+                                       correction=scfg.member_correction)
             return hv_cache[bix]
 
         def _pad_active(idx):

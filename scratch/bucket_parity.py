@@ -30,14 +30,18 @@ from pl_fem_tpu.ops.analytic import vector_modes
 from pl_fem_tpu.ops.femgrid import MeshGenerator, export_device_grid
 from pl_fem_tpu.solvers import TrueVectorialMaxwellSolver
 
-MESH = 15000
-REF = 2.2
+import os
+
+MESH = int(os.environ.get("BUCKET_MESH", "15000"))
+REF = float(os.environ.get("BUCKET_REF", "2.2"))
+# f64-polish member-operator correction: 'deform' (round-5 conforming
+# deformation) or 'mask' (round-3 indicator-only)
+CORR = os.environ.get("BUCKET_CORR", "deform")
+BPS = tuple(int(b) for b in os.environ.get("BUCKET_BP", "1,2").split(","))
 
 # member whose radius sits near a class-band edge (worst case the 5%
 # banding admits is +-2.47% off the class center); BUCKET_RFAC scales
 # the flagship r_core
-import os
-
 RFAC = float(os.environ.get("BUCKET_RFAC", "1.025"))
 member = MCFGeometry(7, 8.0, 1.5 * RFAC, 1.535, 1.0, wavelength_um=1.55)
 key = bucket_key(member)
@@ -51,12 +55,12 @@ exact = vector_modes(member.wavelength, member.r_core, 1.535, 1.0, nu_max=1)
 he11 = max(n for lbl, n in exact)
 print(f"exact isolated-core HE11 n_eff = {he11:.8f}", flush=True)
 
-for bp in (1, 2):
+for bp in BPS:
     cfg = SimulationConfig(
         mesh_min_points=MESH, mesh_target_points=MESH,
         mesh=MeshConfig(bucket_rounding=1024),
         solver=SolverConfig(backend="tpu", cheb_degree=200, cheb_passes=2,
-                            beta_passes=bp))
+                            beta_passes=bp, member_correction=CORR))
     # (a) bucket solve on the CLASS grid
     grid_c = MeshGenerator.generate(cls_geom, REF, cfg)
     dg_c = export_device_grid(grid_c, 1024)

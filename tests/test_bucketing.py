@@ -86,6 +86,7 @@ def test_canonicalize_preserves_ratio_and_shares_domain():
     assert can.V_number == pytest.approx(g.V_number, rel=1e-9)
 
 
+@pytest.mark.slow
 def test_scale_invariance_of_solve():
     """The same design solved at two scales gives the same n_eff.
 
@@ -109,6 +110,7 @@ def test_scale_invariance_of_solve():
     assert res[0] == pytest.approx(res[1], abs=2e-5)
 
 
+@pytest.mark.slow
 def test_mixed_radius_sweep_matches_single_solves():
     """Family mask-correction: sweep members with different radii get
     EXACT per-member host operators (same grid oracle: B=1 build)."""
@@ -158,6 +160,7 @@ def test_taper_profile_moves_cmt_slices():
         assert np.abs(scales[a][1:-1] - scales[b][1:-1]).max() > 0.01
 
 
+@pytest.mark.slow
 def test_taper_profile_is_physical():
     """Changing the sampled taper_profile changes IL_CMT (VERDICT #5:
     the column must influence outputs, not just be recorded)."""
@@ -199,6 +202,7 @@ def test_taper_profile_is_physical():
     assert il["linear"] != il["exponential"]
 
 
+@pytest.mark.slow
 def test_rigorous_cmt_reaches_pipeline():
     """cmt_coupling='rigorous' + cmt_adaptive change IL_CMT end to end
     (VERDICT r2 #7: the knobs must be wired through the generator, not
@@ -241,6 +245,7 @@ def test_rigorous_cmt_reaches_pipeline():
     assert il["adaptive"] != il["approx"]
 
 
+@pytest.mark.slow
 def test_bucketed_engine_matches_serial():
     """simulate_bucketed == serial simulate_sample (solver tol apart)."""
     from pl_fem_tpu.dataset.generator import DatasetGenerator

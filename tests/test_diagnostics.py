@@ -140,6 +140,7 @@ def test_mesh_quality_gate_warn_and_strict(monkeypatch):
     assert fg is not None
 
 
+@pytest.mark.slow
 def test_record_provenance_fields():
     """solver_mode/accuracy_class/mesh quality land on every record,
     and bucketed records are distinguishable from per-design ones."""

@@ -94,3 +94,71 @@ def test_quadratic_subspace_accepts_both_views(fam_setup):
     bt_l, H_l, _, q_l = quadratic_subspace(lv, X, k0, lo, hi)
     assert np.allclose(bt_h, bt_l, rtol=1e-12, atol=0)
     assert np.allclose(q_h, q_l, rtol=1e-9, atol=1e-15)
+
+
+def test_deform_correction_matches_deformed_grid_assembly(fam_setup):
+    """'deform' member correction == direct f64 assembly on the grid
+    whose nodes were moved by member_deformed_coords (the member-
+    CONFORMING discretization — round-5 fix for the ~1e-4 bucket
+    accuracy floor, docs/PARITY_r3.md §A)."""
+    import copy
+
+    from pl_fem_tpu.ops.host_assembly import member_deformed_coords
+
+    dg, fam, base, member, V = fam_setup
+    ep = member.eps_params()
+    corr = fam._corr_for(ep, "deform")
+    assert corr is not None and corr[0] == "geom"
+
+    out = member_deformed_coords(dg.dof_coords, dg.circles[:, :2],
+                                 dg.circles[:, 2],
+                                 np.asarray(ep.core_radii))
+    assert out is not None
+    coords_def, moved = out
+    assert moved[: dg.n_dofs].any()
+    cfg = SimulationConfig(mesh_min_points=900, mesh_target_points=900,
+                           mesh=MeshConfig(bucket_rounding=256))
+    grid = MeshGenerator.generate(base, 1.0, cfg)
+    grid_d = copy.deepcopy(grid)
+    grid_d.dof_coords[:] = coords_def[: grid.n_dofs]
+    grid_d.mesh.points[:] = coords_def[: grid.n_points]
+    dg_d = export_device_grid(grid_d, 256)
+    hv_ref = build_host_vector3(dg_d, ep)
+
+    lv = fam.design_view(member.n_core**2, member.n_clad**2,
+                         eps_params=ep, correction="deform")
+    P = hv_ref.Ai_matvec(V)
+    L = lv.Ai_matvec(V)
+    for i in range(3):
+        scale = np.abs(P[i]).max() + 1e-300
+        assert np.abs(P[i] - L[i]).max() / scale < 1e-12, i
+    dM = lv.M3 - hv_ref.M3
+    assert dM.nnz == 0 or np.abs(dM.data).max() < 1e-13
+
+
+def test_corr_does_not_corrupt_shared_pattern(fam_setup):
+    """Regression: building a member correction must not mutate the
+    cached SharedCSR pattern (eliminate_zeros on a CSR sharing the
+    pattern's indices/indptr compacted them IN PLACE)."""
+    dg, fam, base, member, V = fam_setup
+    spat_indices = fam.spat.indices.copy()
+    spat_indptr = fam.spat.indptr.copy()
+    pat_indices = fam.pat.indices.copy()
+    _ = fam._corr_for(member.eps_params(), "deform")
+    assert np.array_equal(fam.spat.indices, spat_indices)
+    assert np.array_equal(fam.spat.indptr, spat_indptr)
+    assert np.array_equal(fam.pat.indices, pat_indices)
+
+
+def test_mask_correction_still_available(fam_setup):
+    """correction='mask' keeps the round-3 indicator-only behavior."""
+    dg, fam, base, member, V = fam_setup
+    ep = member.eps_params()
+    corr = fam._corr_for(ep, "mask")
+    assert corr is not None and corr[0] == "mask"
+    lv = fam.design_view(member.n_core**2, member.n_clad**2,
+                         eps_params=ep, correction="mask")
+    # mask correction keeps the family's class-geometry mass
+    assert lv.M3 is fam.M3
+    for a in lv.Ai_matvec(V):
+        assert np.isfinite(a).all()
