@@ -70,6 +70,32 @@ BASELINE_CAP_S = float(os.environ.get("BENCH_BASELINE_CAP_S", "240"))
 PROBE_T = float(os.environ.get("BENCH_PROBE_T", "75"))
 
 _STORED_BASELINE = Path(__file__).parent / "docs" / "BASELINE_HOST.json"
+# written by a child after its production fast-mode sweep completes:
+# proof that this VM's persistent XLA cache holds the production
+# programs, so the parent can skip the small-mesh insurance phase and
+# give the production child enough budget for the accuracy stage
+# (warm stage costs measured 2026-08-20: warmup 57 s + sweep 29 s +
+# live baseline 80 s + accuracy B=2 465 s ~= 630 s of the 840 s budget)
+_WARM_MARKER = (Path(os.path.expanduser("~/.cache/pl_fem_tpu"))
+                / "bench_warm.json")
+
+
+def _cache_is_warm():
+    try:
+        d = json.loads(_WARM_MARKER.read_text())
+        fresh = (time.time() - d["time"]) < 48 * 3600.0
+        return fresh and abs(d["mesh_min"] - MESH_MIN) <= 0.2 * MESH_MIN
+    except (OSError, KeyError, ValueError):
+        return False
+
+
+def _write_warm_marker():
+    try:
+        _WARM_MARKER.parent.mkdir(parents=True, exist_ok=True)
+        _WARM_MARKER.write_text(json.dumps(
+            {"time": time.time(), "mesh_min": MESH_MIN}))
+    except OSError:
+        pass
 
 
 def _stored_baseline(mesh_points):
@@ -179,6 +205,8 @@ def child_main():
         result["baseline_per_design_s"] = stored
         result["baseline"] = "stored"
     print(json.dumps(result), flush=True)      # provisional #1
+    if MESH_MIN >= 10000:
+        _write_warm_marker()   # production programs are now cached
 
     # live baseline: reference algorithm (ARPACK shift-invert) on host
     # CPU, time-capped; the stored number stands in past the cap
@@ -390,9 +418,15 @@ def main():
             return
 
     # Phase A — small-mesh insurance (cheap compiles, ~2 min); skipped
-    # when the budget is tight so the production phase keeps >= 420 s
+    # when the budget is tight so the production phase keeps >= 420 s,
+    # or when a fresh warm-marker proves this VM already compiled the
+    # production programs (then Phase A would only squeeze Phase B's
+    # accuracy stage out of the budget)
     remaining = deadline - time.time()
-    if remaining > 600.0:
+    if _cache_is_warm():
+        sys.stderr.write("warm marker found: skipping the small-mesh "
+                         "insurance phase\n")
+    elif remaining > 600.0:
         res = _run_child({"BENCH_MESH_MIN": FB_MESH_MIN,
                           "BENCH_REF": FB_REFINE,
                           "BENCH_BASELINE_CAP_S": 60},
