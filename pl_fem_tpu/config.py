@@ -61,6 +61,12 @@ class SolverConfig:
     # beta-drift criterion alone froze bootstrapped solves one round
     # too early (measured ~4e-4 n_eff bias at production size)
     polish_qres_tol: float = 2e-5
+    # cap on qres-gated outer rounds when beta_passes >= 2. None keeps
+    # the accuracy-mode legacy max(beta_passes, 6); the BALANCED preset
+    # sets a small cap so a design that misses its (looser) qres tol
+    # stops burning re-filter rounds chasing a 2e-6-grade subspace it
+    # does not need (see solver_preset).
+    qres_max_rounds: Optional[int] = None
     # sweep A-apply lane layout: 'packed' (q-loop on (E, B, 3, k)) or
     # 'flat' (component-split (E, B*k) lanes, built for TPU tile
     # utilization — the packed shape tiles at ~6% MXU/VPU occupancy at
@@ -230,6 +236,43 @@ class PhotonicLanternDesignParameters:
     taper_profile: str = "exponential"
 
 
+# Named solver presets. Values are SolverConfig field overrides; the
+# 'balanced' numbers come from the round-5 analytic-truth calibration
+# sweep (scratch/balanced_calib.py; docs/STATUS_round5.md) targeting the
+# reference's 5e-5 accuracy gate (/root/reference/README.md:44) at a
+# fraction of accuracy-mode cost: beta_passes=2 removes fast mode's
+# ~4e-4 prolonged-subspace root bias, the loosened qres tol stops the
+# outer loop once roots certify at the 5e-5 class instead of chasing
+# the 2e-6 plateau, and the round cap bounds the worst case.
+# Measured (production 15k-pt mesh, flagship air-clad hex vs exact
+# dispersion, 2026-08-20): fast 1.1e-3 n_eff; tol=2.5e-4/cap 2 ->
+# 4.5e-5 at ~4x fast cost; tol=1.2e-4/cap 3 -> 4.3e-5 at ~11x;
+# tol=6e-5/cap 4 -> 3.4e-5 at ~10x. The ~4e-5 floor is the
+# beta_passes=2 polish class, not the qres gate, so the cheapest
+# passing combo is the preset.
+SOLVER_PRESETS = {
+    "fast": {"beta_passes": 1},
+    "balanced": {"beta_passes": 2, "polish_qres_tol": 2.5e-4,
+                 "qres_max_rounds": 2},
+    "accuracy": {"beta_passes": 2},
+}
+
+
+def solver_preset(name: str, **overrides) -> SolverConfig:
+    """Build a SolverConfig from a named preset plus field overrides.
+
+    ``fast`` (~8e-4 n_eff, dataset throughput), ``balanced`` (the
+    reference's 5e-5 gate class), ``accuracy`` (~2e-6 n_eff, qres-gated
+    to the f32-filter/f64-polish plateau).
+    """
+    if name not in SOLVER_PRESETS:
+        raise ValueError(f"unknown solver preset {name!r}; expected one "
+                         f"of {sorted(SOLVER_PRESETS)}")
+    kw = dict(SOLVER_PRESETS[name])
+    kw.update(overrides)
+    return SolverConfig(**kw)
+
+
 def simulation_config_from_dict(d: dict) -> SimulationConfig:
     """Build a SimulationConfig from a (nested) plain dict.
 
@@ -242,12 +285,16 @@ def simulation_config_from_dict(d: dict) -> SimulationConfig:
     for name, cls_ in (("solver", SolverConfig), ("mesh", MeshConfig)):
         if name in d:
             kw = dict(d.pop(name) or {})
+            # solver: {preset: fast|balanced|accuracy, <overrides>...}
+            preset = kw.pop("preset", None) if cls_ is SolverConfig \
+                else None
             known = {f.name for f in dataclasses.fields(cls_)}
             unknown = set(kw) - known
             if unknown:
                 raise ValueError(f"unknown {name} config keys: "
                                  f"{sorted(unknown)}")
-            sub[name] = cls_(**kw)
+            sub[name] = solver_preset(preset, **kw) if preset \
+                else cls_(**kw)
     known = {f.name for f in dataclasses.fields(SimulationConfig)}
     unknown = set(d) - known
     if unknown:
@@ -285,6 +332,8 @@ __all__ = [
     "SolverConfig",
     "MeshConfig",
     "PhotonicLanternDesignParameters",
+    "SOLVER_PRESETS",
+    "solver_preset",
     "simulation_config_from_dict",
     "load_config_file",
 ]

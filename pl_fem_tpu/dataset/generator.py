@@ -249,17 +249,26 @@ class DatasetGenerator:
         else:
             rec.solver_mode = "bucketed_sweep" if bucketed else "per_design"
             if s.beta_passes >= 2:
+                # balanced preset = qres-gated like accuracy mode but at
+                # a loosened tol (config.SOLVER_PRESETS); stamp the tol
+                # so the record says which gate certified its roots
+                acc = s.polish_qres_tol <= 2e-5
+                tier = "accuracy" if acc else \
+                    f"balanced, qres tol {s.polish_qres_tol:g}"
                 if bucketed:
                     # the ~1e-4 bucket floor is measured at band 0.05
                     # (docs/PARITY_r3.md §A); wider bands admit members
                     # farther from the class geometry, so stamp the band
                     # and only quote the floor where it was measured
                     band = self.config.mesh.bucket_ratio_band
-                    floor = " ~1e-4 floor" if band <= 0.05 else ""
+                    floor = ", ~1e-4 floor" if (band <= 0.05 and acc) \
+                        else ""
                     rec.accuracy_class = (
-                        f"accuracy (bucket band {band:.2f}{floor})")
-                else:
+                        f"{tier} (bucket band {band:.2f}{floor})")
+                elif acc:
                     rec.accuracy_class = "accuracy (~2e-6 n_eff)"
+                else:
+                    rec.accuracy_class = f"{tier} (per-design)"
             else:
                 rec.accuracy_class = "fast (~8e-4 n_eff)"
         if grid is not None and grid.quality is not None:

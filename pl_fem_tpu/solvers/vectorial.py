@@ -734,7 +734,7 @@ class TrueVectorialMaxwellSolver:
         # (round-2 accuracy mode measured 6.8x fast mode for this
         # reason).
         max_rounds = beta_passes_eff if beta_passes_eff == 1 \
-            else max(beta_passes_eff, 6)
+            else max(beta_passes_eff, scfg.qres_max_rounds or 6)
         prev_q = np.full(B, np.inf)
         active = list(range(B))
         Xact = X                      # (3Dp, |sel|, k) active subspace

@@ -220,6 +220,61 @@ def test_config_file_loader(tmp_path):
         load_config_file(bad)
 
 
+def test_solver_presets():
+    """Named presets (fast/balanced/accuracy) resolve to SolverConfig
+    field sets; 'preset' works in the nested config-file solver dict
+    with explicit overrides winning; the balanced preset loosens the
+    qres gate and caps qres rounds (VERDICT r4 missing #4 — the 5e-5
+    gate tier between fast ~8e-4 and accuracy ~2e-6)."""
+    from pl_fem_tpu.config import (SolverConfig, simulation_config_from_dict,
+                                   solver_preset)
+
+    fast = solver_preset("fast")
+    bal = solver_preset("balanced")
+    acc = solver_preset("accuracy")
+    assert fast.beta_passes == 1
+    assert acc.beta_passes == 2
+    assert acc.polish_qres_tol == SolverConfig().polish_qres_tol
+    assert bal.beta_passes == 2
+    assert bal.polish_qres_tol > acc.polish_qres_tol
+    assert bal.qres_max_rounds is not None and bal.qres_max_rounds >= 2
+
+    with pytest.raises(ValueError, match="unknown solver preset"):
+        solver_preset("turbo")
+
+    cfg = simulation_config_from_dict(
+        {"solver": {"preset": "balanced", "cheb_degree": 150}})
+    assert cfg.solver.polish_qres_tol == bal.polish_qres_tol
+    assert cfg.solver.cheb_degree == 150
+
+
+def test_provenance_stamp_tiers():
+    """accuracy_class provenance distinguishes fast / balanced /
+    accuracy and stamps the bucket band (advisor r4 finding #1)."""
+    from pl_fem_tpu.config import (MeshConfig, SimulationConfig,
+                                   solver_preset)
+    from pl_fem_tpu.dataset.generator import DatasetGenerator
+    from pl_fem_tpu.dataset.record import DatasetRecord
+
+    def stamp(scfg, bucketed, band=0.05):
+        gen = DatasetGenerator(config=SimulationConfig(
+            solver=scfg, mesh=MeshConfig(bucket_ratio_band=band)))
+        rec = DatasetRecord(sample_id="t")
+        gen._provenance(rec, None, bucketed)
+        return rec.accuracy_class
+
+    assert stamp(solver_preset("fast"), True).startswith("fast")
+    assert stamp(solver_preset("accuracy"), False) == \
+        "accuracy (~2e-6 n_eff)"
+    assert stamp(solver_preset("accuracy"), True, 0.20) == \
+        "accuracy (bucket band 0.20)"
+    assert "~1e-4 floor" in stamp(solver_preset("accuracy"), True, 0.05)
+    b = stamp(solver_preset("balanced"), True, 0.20)
+    assert b.startswith("balanced") and "bucket band 0.20" in b \
+        and "floor" not in b
+    assert stamp(solver_preset("balanced"), False).startswith("balanced")
+
+
 def test_cli_config_file(tmp_path):
     """CLI accepts --config; explicit flags override file values."""
     from pl_fem_tpu.cli import main as cli_main
