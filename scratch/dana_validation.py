@@ -19,7 +19,8 @@ vectorially, the sectional loss model gives IL_phys_mux, and the full
 propagated by CMT over N_SLICES cross-sections for IL_CMT_mux.
 
 Env knobs: DANA_MESH (default 15000), DANA_REF (2.2), DANA_SLICES (9),
-DANA_BP (2), DANA_COUPLING (approximate|rigorous).
+DANA_PRESET (balanced — the calibrated 5e-5-gate tier; fast|accuracy),
+DANA_BP (override beta_passes), DANA_COUPLING (approximate|rigorous).
 
 Run on TPU: nohup python -u scratch/dana_validation.py > /tmp/dana.log &
 CPU smoke:  DANA_MESH=2000 DANA_REF=1.0 python scratch/dana_validation.py
@@ -39,13 +40,14 @@ if os.environ.get("DANA_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["DANA_PLATFORM"])
 
-from pl_fem_tpu.config import MeshConfig, SimulationConfig, SolverConfig
+from pl_fem_tpu.config import MeshConfig, SimulationConfig, solver_preset
 from pl_fem_tpu.dataset.generator import DatasetGenerator
 
 MESH = int(os.environ.get("DANA_MESH", "15000"))
 REF = float(os.environ.get("DANA_REF", "2.2"))
 SLICES = int(os.environ.get("DANA_SLICES", "9"))
-BP = int(os.environ.get("DANA_BP", "2"))
+PRESET = os.environ.get("DANA_PRESET", "balanced")
+BP = os.environ.get("DANA_BP")  # optional beta_passes override
 COUPLING = os.environ.get("DANA_COUPLING", "approximate")
 
 IL_REF_FEMCMT = 2.383   # dB, reference FEM+CMT (README.md:306)
@@ -66,12 +68,13 @@ sample = {
     "taper_profile": "exponential",
 }
 
+overrides = {"beta_passes": int(BP)} if BP else {}
+scfg = solver_preset(PRESET, backend="tpu", cheb_degree=200,
+                     cheb_passes=2, **overrides)
 cfg = SimulationConfig(
     mesh_min_points=MESH, mesh_target_points=MESH,
     mesh=MeshConfig(refinement=REF, bucket_rounding=1024),
-    cmt_coupling=COUPLING,
-    solver=SolverConfig(backend="tpu", cheb_degree=200, cheb_passes=2,
-                        beta_passes=BP))
+    cmt_coupling=COUPLING, solver=scfg)
 
 gen = DatasetGenerator(config=cfg, use_vectorial=True,
                        n_taper_slices=SLICES)
@@ -113,7 +116,9 @@ out = {
     "PDL_mux_dB": rec.PDL_mux_dB,
     "coupling": COUPLING,
     "n_taper_slices": SLICES,
-    "beta_passes": BP,
+    "preset": PRESET,
+    "beta_passes": scfg.beta_passes,
+    "polish_qres_tol": scfg.polish_qres_tol,
     "solver_time_s": round(dt, 1),
 }
 print("\nJSON: " + json.dumps(out))
