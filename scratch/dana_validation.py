@@ -20,7 +20,11 @@ propagated by CMT over N_SLICES cross-sections for IL_CMT_mux.
 
 Env knobs: DANA_MESH (default 15000), DANA_REF (2.2), DANA_SLICES (9),
 DANA_PRESET (balanced — the calibrated 5e-5-gate tier; fast|accuracy),
-DANA_BP (override beta_passes), DANA_COUPLING (approximate|rigorous).
+DANA_BP (override beta_passes), DANA_COUPLING (approximate|rigorous),
+DANA_BACKEND (tpu | hybrid — hybrid is the reference-faithful ARPACK
+transverse pencil: with the bit-parity loss stack (docs/
+LOSS_PARITY_r5.txt) it isolates whether IL differences vs the
+reference's 2.383 dB come from the mode solutions or the loss model).
 
 Run on TPU: nohup python -u scratch/dana_validation.py > /tmp/dana.log &
 CPU smoke:  DANA_MESH=2000 DANA_REF=1.0 python scratch/dana_validation.py
@@ -49,6 +53,7 @@ SLICES = int(os.environ.get("DANA_SLICES", "9"))
 PRESET = os.environ.get("DANA_PRESET", "balanced")
 BP = os.environ.get("DANA_BP")  # optional beta_passes override
 COUPLING = os.environ.get("DANA_COUPLING", "approximate")
+BACKEND = os.environ.get("DANA_BACKEND", "tpu")
 
 IL_REF_FEMCMT = 2.383   # dB, reference FEM+CMT (README.md:306)
 IL_REF_EXP = 2.670      # dB, Dana 2024 experiment (README.md:308)
@@ -69,7 +74,7 @@ sample = {
 }
 
 overrides = {"beta_passes": int(BP)} if BP else {}
-scfg = solver_preset(PRESET, backend="tpu", cheb_degree=200,
+scfg = solver_preset(PRESET, backend=BACKEND, cheb_degree=200,
                      cheb_passes=2, **overrides)
 cfg = SimulationConfig(
     mesh_min_points=MESH, mesh_target_points=MESH,
@@ -114,6 +119,7 @@ out = {
     "IL_experiment_dB": IL_REF_EXP,
     "MDL_phys_mux_dB": rec.MDL_phys_mux_dB,
     "PDL_mux_dB": rec.PDL_mux_dB,
+    "backend": BACKEND,
     "coupling": COUPLING,
     "n_taper_slices": SLICES,
     "preset": PRESET,
