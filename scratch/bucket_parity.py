@@ -43,6 +43,10 @@ BPS = tuple(int(b) for b in os.environ.get("BUCKET_BP", "1,2").split(","))
 # banding admits is +-2.47% off the class center); BUCKET_RFAC scales
 # the flagship r_core
 RFAC = float(os.environ.get("BUCKET_RFAC", "1.025"))
+# BUCKET_OWN=0 skips the own-conforming-mesh solve (the bucket-vs-exact
+# column is the gate number; own-mesh is a secondary cross-check that
+# costs a fresh compile at an off-band mesh shape)
+OWN = os.environ.get("BUCKET_OWN", "1") != "0"
 member = MCFGeometry(7, 8.0, 1.5 * RFAC, 1.535, 1.0, wavelength_um=1.55)
 key = bucket_key(member)
 cls_geom = class_geometry(key, member)
@@ -69,6 +73,11 @@ for bp in BPS:
     sweep = TrueVectorialMaxwellSolver.solve_sweep([can], dg_c, 10, cfg)
     n_bucket = sweep[0][0]["n_eff"]
     t_a = time.time() - t0
+    if not OWN:
+        print(f"bp={bp}: bucket n_eff={n_bucket:.8f} ({t_a:.0f}s, "
+              f"{grid_c.n_points} pts)  bucket-vs-exact "
+              f"{abs(n_bucket-he11)/he11:.2e}", flush=True)
+        continue
     # (b) own conforming mesh — walk the refinement factor down if the
     # red-refinement granularity overshoots the size band for this
     # radius (REF=2.2 lands 15k for the class geometry but 59k for the
