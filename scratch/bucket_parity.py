@@ -43,13 +43,17 @@ BPS = tuple(int(b) for b in os.environ.get("BUCKET_BP", "1,2").split(","))
 # banding admits is +-2.47% off the class center); BUCKET_RFAC scales
 # the flagship r_core
 RFAC = float(os.environ.get("BUCKET_RFAC", "1.025"))
+# class width for the key/class-center (MeshConfig.bucket_ratio_band):
+# 0.05 reproduces the r3 measurement; 0.20 is the r5 dataset band
+# (worst-case member there is ~+-9.5% off center, RFAC ~1.095)
+BAND = float(os.environ.get("BUCKET_BAND", "0.05"))
 # BUCKET_OWN=0 skips the own-conforming-mesh solve (the bucket-vs-exact
 # column is the gate number; own-mesh is a secondary cross-check that
 # costs a fresh compile at an off-band mesh shape)
 OWN = os.environ.get("BUCKET_OWN", "1") != "0"
 member = MCFGeometry(7, 8.0, 1.5 * RFAC, 1.535, 1.0, wavelength_um=1.55)
-key = bucket_key(member)
-cls_geom = class_geometry(key, member)
+key = bucket_key(member, BAND)
+cls_geom = class_geometry(key, member, BAND)
 print(f"member r/p={member.r_core/8.0:.4f}  class center "
       f"r/p={cls_geom.r_core/8.0:.4f}  "
       f"(member {100*(member.r_core/cls_geom.r_core-1):+.2f}% off center)",
